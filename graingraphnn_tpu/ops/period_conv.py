@@ -1,0 +1,215 @@
+"""Periodic graph-transformer convolution (TPU-native formulation).
+
+Semantics follow the reference `PeriodConv` (periodGATconv.py:15-236), a
+UniMP-style graph transformer with two modifications: the first three source
+features are replaced per edge by the minimum-image displacement
+``x_j[:3]-x_i[:3]`` (periodGATconv.py:209-211), and values pass through a
+2-layer MLP ``lin_l2(relu(lin_value(x_j')))`` (periodGATconv.py:218).
+
+TPU-first re-design (not a port):
+
+1. **ELL adjacency** — attention normalization is a dense masked softmax over
+   a static neighbor axis (no torch-scatter segment softmax, no scatters).
+
+2. **Algebraic shift decomposition** — since lin_key/lin_value are linear,
+       lin_key([reloc, x_j[3:]]) = K[j] + Wk_pos @ (shift - x_i[:3])
+   where ``K = lin_key(x_j)`` is a per-NODE projection, ``Wk_pos`` is the
+   3-column position block of the weight and ``shift`` in {-1,0,1}^3 is the
+   periodic wrap. All F_in-dimensional matmuls therefore run once per node on
+   the MXU; the per-edge work is a hidden-dim gather plus a rank-3
+   correction. This is numerically identical (up to float re-association) to
+   the per-edge reference formulation — verified in
+   tests/test_period_conv.py against a naive COO implementation.
+
+3. **Gate fusion** — `num_gates` independent convolutions sharing topology
+   (the 4 LSTM gates, heteropgclstm.py:48-88) are evaluated as one set of
+   4x-wide projections; attention logits are computed per gate and softmaxed
+   independently.
+
+Parameter layout per edge type (G = num_gates, C = out_channels):
+    key/query/value/skip: {'w': [F, G*C], 'b': [G*C]}
+    l2:   {'w': [G, C, C], 'b': [G, C]}   (block-diagonal across gates)
+    edge: {'w': [G*C]}                    (edge_dim is always 1)
+Gate blocks are ordered [i, f, c, o] along the fused output axis.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.geometry import wrap_shift
+from .segment import masked_softmax, segment_softmax, segment_sum
+
+POS_DIM = 3  # (x, y, z) leading feature columns carry node position
+
+
+def glorot_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def init_period_conv(
+    key: jax.Array,
+    in_src: int,
+    in_dst: int,
+    out_channels: int,
+    num_gates: int = 1,
+    dtype=jnp.float32,
+) -> Dict:
+    """Glorot init, per gate block (matches the reference's per-gate PyG
+    Linear glorot fan-in/fan-out)."""
+    C, G = out_channels, num_gates
+    ks = jax.random.split(key, 6 * G)
+
+    def fused(kslice, fan_in):
+        blocks = [
+            glorot_uniform(kslice[g], (fan_in, C), fan_in, C, dtype) for g in range(G)
+        ]
+        return jnp.concatenate(blocks, axis=1)  # [fan_in, G*C]
+
+    return {
+        "key": {"w": fused(ks[0:G], in_src), "b": jnp.zeros((G * C,), dtype)},
+        "query": {"w": fused(ks[G : 2 * G], in_dst), "b": jnp.zeros((G * C,), dtype)},
+        "value": {"w": fused(ks[2 * G : 3 * G], in_src), "b": jnp.zeros((G * C,), dtype)},
+        "l2": {
+            "w": jnp.stack(
+                [
+                    glorot_uniform(ks[3 * G + g], (C, C), C, C, dtype)
+                    for g in range(G)
+                ]
+            ),
+            "b": jnp.zeros((G, C), dtype),
+        },
+        "edge": {
+            "w": jnp.concatenate(
+                [
+                    glorot_uniform(ks[4 * G + g], (1, C), 1, C, dtype)
+                    for g in range(G)
+                ],
+                axis=1,
+            ).reshape(-1)
+        },
+        "skip": {"w": fused(ks[5 * G : 6 * G], in_dst), "b": jnp.zeros((G * C,), dtype)},
+    }
+
+
+def apply_period_conv(
+    params: Dict,
+    x_src: jnp.ndarray,   # [Ns, F_src]
+    x_dst: jnp.ndarray,   # [Nd, F_dst]
+    nbr: jnp.ndarray,     # [Nd, K] int32 indices into src nodes
+    edge_len: jnp.ndarray,  # [Nd, K] float32
+    nbr_mask: jnp.ndarray,  # [Nd, K] float32
+    *,
+    num_gates: int,
+    out_channels: int,
+) -> jnp.ndarray:
+    """Fused-gate periodic conv. Returns [Nd, num_gates * out_channels]."""
+    G, C = num_gates, out_channels
+    Nd, K = nbr.shape
+    f32 = x_src.dtype
+
+    # ---- node-level projections (MXU) ----
+    Q = x_dst @ params["query"]["w"] + params["query"]["b"]      # [Nd, GC]
+    Kn = x_src @ params["key"]["w"] + params["key"]["b"]         # [Ns, GC]
+    Vn = x_src @ params["value"]["w"] + params["value"]["b"]     # [Ns, GC]
+    Sk = x_dst @ params["skip"]["w"] + params["skip"]["b"]       # [Nd, GC]
+
+    wk_pos = params["key"]["w"][:POS_DIM]    # [3, GC]
+    wv_pos = params["value"]["w"][:POS_DIM]  # [3, GC]
+    Pk = x_dst[:, :POS_DIM] @ wk_pos         # [Nd, GC]
+    Pv = x_dst[:, :POS_DIM] @ wv_pos
+
+    # ---- edge stage: gathers + rank-3 shift correction ----
+    pos_s = x_src[:, :POS_DIM]
+    pos_d = x_dst[:, :POS_DIM]
+    rel = jnp.take(pos_s, nbr, axis=0) - pos_d[:, None, :]       # [Nd, K, 3]
+    shift = wrap_shift(rel)
+
+    e = edge_len[..., None] * params["edge"]["w"]                # [Nd, K, GC]
+    k_e = (
+        jnp.take(Kn, nbr, axis=0)
+        - Pk[:, None, :]
+        + shift @ wk_pos
+        + e
+    )                                                            # [Nd, K, GC]
+    pre_v = jnp.take(Vn, nbr, axis=0) - Pv[:, None, :] + shift @ wv_pos
+
+    # 2-layer value MLP, block-diagonal across gates (one [Nd*K, C] x [C, C]
+    # matmul per gate on the MXU)
+    v = jnp.einsum(
+        "nkgc,gcd->nkgd",
+        jax.nn.relu(pre_v).reshape(Nd, K, G, C),
+        params["l2"]["w"],
+        preferred_element_type=f32,
+    ) + params["l2"]["b"]
+
+    # ---- attention: per-gate logits, masked softmax over neighbor axis ----
+    logits = jnp.sum(
+        Q.reshape(Nd, 1, G, C) * k_e.reshape(Nd, K, G, C), axis=-1
+    ) / math.sqrt(C)                                             # [Nd, K, G]
+    alpha = masked_softmax(logits, nbr_mask[..., None], axis=1)
+
+    msg = (v + e.reshape(Nd, K, G, C)) * alpha[..., None]
+    out = jnp.sum(msg, axis=1).reshape(Nd, G * C)
+    return out + Sk
+
+
+# ---------------------------------------------------------------------------
+# Naive COO reference (mirrors periodGATconv.message, periodGATconv.py:204-236)
+# — used only for correctness tests and parity scripts, never in the hot path.
+# ---------------------------------------------------------------------------
+
+
+def apply_period_conv_coo_reference(
+    params: Dict,
+    x_src,
+    x_dst,
+    src,           # [E] source node ids
+    dst,           # [E] destination node ids
+    edge_len,      # [E]
+    edge_mask,     # [E]
+    *,
+    num_gates: int,
+    out_channels: int,
+):
+    G, C = num_gates, out_channels
+    Nd = x_dst.shape[0]
+    x_j = x_src[src]
+    x_i = x_dst[dst]
+    rel = x_j[:, :POS_DIM] - x_i[:, :POS_DIM]
+    reloc = rel + wrap_shift(rel)
+    x_jp = jnp.concatenate([reloc, x_j[:, POS_DIM:]], axis=1)
+
+    q = x_i @ params["query"]["w"] + params["query"]["b"]
+    k = x_jp @ params["key"]["w"] + params["key"]["b"]
+    v1 = x_jp @ params["value"]["w"] + params["value"]["b"]
+    v = jnp.einsum(
+        "egc,gcd->egd", jax.nn.relu(v1).reshape(-1, G, C), params["l2"]["w"]
+    ) + params["l2"]["b"]
+    e = edge_len[:, None] * params["edge"]["w"]
+    k = k + e
+    logits = jnp.sum(
+        q.reshape(-1, G, C) * k.reshape(-1, G, C), axis=-1
+    ) / math.sqrt(C)
+    alpha = jnp.stack(
+        [
+            segment_softmax(logits[:, g], dst, Nd, mask=edge_mask)
+            for g in range(G)
+        ],
+        axis=-1,
+    )  # [E, G]
+    msg = (v + e.reshape(-1, G, C)) * alpha[..., None] * edge_mask[:, None, None]
+    agg = segment_sum(msg.reshape(-1, G * C), dst, Nd)
+    return agg + x_dst @ params["skip"]["w"] + params["skip"]["b"]
+
+
+def count_params(tree) -> int:
+    return int(
+        sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree))
+    )
