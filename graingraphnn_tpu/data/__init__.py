@@ -1,1 +1,1 @@
-from . import reference_io  # noqa: F401
+from . import dataset, reference_io  # noqa: F401

@@ -50,11 +50,24 @@ _ALLOWED_MODULE_PREFIXES = (
     "builtins",
     "copyreg",
     "__builtin__",
+    "dill",   # dill-internal reducers (_dill._get_attr etc.) must be real
+    "_dill",
+    "scipy",
 )
 
 
 class _PermissiveUnpickler(pickle.Unpickler):
+    """pickle.Unpickler that substitutes a generic attribute-bag class for
+    any class living in a module we don't have (the reference's own modules),
+    while letting numpy/dill/scipy internals resolve normally."""
+
     def find_class(self, module: str, name: str):
+        if name == "__dict__":
+            # dill serializes __main__-defined functions by value with their
+            # globals as a reference to __main__.__dict__; hand those
+            # functions an inert empty namespace (they are never called —
+            # only the array payload is consumed).
+            return {}
         if module.startswith(_ALLOWED_MODULE_PREFIXES):
             return super().find_class(module, name)
         if module.startswith("torch"):
@@ -68,7 +81,8 @@ def load_pickle(path: str) -> Any:
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rb") as f:
         data = f.read()
-    # dill frames are plain pickle streams for these payloads
+    # dill frames are pickle streams; dill-internal callables resolve through
+    # the real dill package (in _ALLOWED_MODULE_PREFIXES)
     return _PermissiveUnpickler(io.BytesIO(data)).load()
 
 

@@ -72,6 +72,13 @@ class GraphSample:
     y_edge: jnp.ndarray       # [E] float32 scaled edge-length change
     y_edge_mask: jnp.ndarray  # [E] float32
 
+    # unpadded row counts (the reference's loss averages over ALL rows of its
+    # trajectory-sized arrays, train.py:33-38 — keep those denominators exact
+    # under padding)
+    n_grain_rows: jnp.ndarray  # scalar float32
+    n_joint_rows: jnp.ndarray  # scalar float32
+    n_jj_rows: jnp.ndarray     # scalar float32
+
     @property
     def num_grains(self) -> int:
         return self.grain_x.shape[-2]
@@ -229,6 +236,9 @@ def build_sample(
         y_grain_event=jnp.asarray(y_grain_event),
         y_edge=jnp.asarray(y_edge),
         y_edge_mask=jnp.asarray(y_edge_mask),
+        n_grain_rows=jnp.asarray(float(ng), jnp.float32),
+        n_joint_rows=jnp.asarray(float(nj), jnp.float32),
+        n_jj_rows=jnp.asarray(float(len(c_src)), jnp.float32),
     )
 
 

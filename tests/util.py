@@ -53,6 +53,18 @@ def synthetic_coo(ng=16, nj=32, seed=0):
     return feature_dicts, edge_index_dicts, edge_weight_dicts, mask_dicts
 
 
-def synthetic_sample(ng=16, nj=32, seed=0, **caps) -> state.GraphSample:
+def synthetic_sample(ng=16, nj=32, seed=0, with_targets=False, **caps) -> state.GraphSample:
     f, e, w, m = synthetic_coo(ng, nj, seed)
-    return state.build_sample(f, e, w, m, **caps)
+    targets = None
+    if with_targets:
+        rng = np.random.default_rng(seed + 1000)
+        n_jj = e[schema.EDGE_TYPES[2]].shape[1]
+        targets = {
+            "grain": rng.uniform(-0.9, 0.9, (ng, 2)).astype(np.float32),
+            "joint": rng.uniform(-0.9, 0.9, (nj, 2)).astype(np.float32),
+            "grain_event": (rng.uniform(size=ng) < 0.1).astype(np.float32),
+            "edge_event": rng.choice(
+                [-100.0, 0.0, 1.0], size=n_jj, p=[0.1, 0.8, 0.1]
+            ).astype(np.float32),
+        }
+    return state.build_sample(f, e, w, m, targets, **caps)
