@@ -1,0 +1,336 @@
+"""Rollout inference engine (reference test.py:72-611, the flagship path).
+
+Per step (z-layer):
+  <1> jitted regressor + classifier forward on the padded GraphSample
+  <2> feature integration (Rmodel.update, models.py:473-527) + z advance
+  <3> event thresholding + host topology editor (TopologyEditor)
+  <4> planar-graph reconstruction, rasterization, layer error + event
+      accuracy vs the PF truth
+  <5> grain centers + edge lengths recomputed for the next step
+
+The jit boundary: model forwards run on device with static shapes (node/edge
+capacities change only when nucleation outgrows them); everything
+data-dependent (the editor, region rebuild, raster) runs on host, mirroring
+the reference's CPU rollout loop.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.heterograph import PUSH
+from ..graph import schema, state
+from ..graph.planar import PlanarGraph, periodic_dist_pt
+from ..models import grain_nn
+from .qoi import (
+    event_hit_rate,
+    misorientation_curve,
+    size_distribution_ks,
+    volume_graph,
+    volume_truth,
+)
+from .topology import TopologyEditor
+
+TRAIN_FRAMES = 120       # test.py:190
+TRAIN_DELTA_Z = 0.4      # test.py:191
+
+
+class RolloutEngine:
+    def __init__(
+        self,
+        reg_params,
+        hp_r,
+        cls_params,
+        hp_c,
+        *,
+        r_threshold: float = 1e-4,   # test.py:187
+        c_threshold: float = 0.6,    # test.py:188
+        seed: int = 0,
+        verbose: bool = False,
+    ):
+        self.reg_params = reg_params
+        self.hp_r = hp_r
+        self.cls_params = cls_params
+        self.hp_c = hp_c
+        self.r_threshold = r_threshold
+        self.editor = TopologyEditor(
+            threshold=c_threshold, rng=np.random.default_rng(seed), verbose=verbose
+        )
+        self.verbose = verbose
+        self._fwd_cache = {}
+
+    def _log(self, *a):
+        if self.verbose:
+            print(*a)
+
+    # ------------------------------------------------------------------
+    def _forward(self, x, edges, edge_attr, caps):
+        """Jitted regressor+classifier forward on padded arrays. One compile
+        per capacity bucket."""
+        key = caps
+        if key not in self._fwd_cache:
+            def fwd(sample):
+                return (
+                    grain_nn.apply_regressor(self.reg_params, self.hp_r, sample),
+                    grain_nn.apply_classifier(self.cls_params, self.hp_c, sample),
+                )
+            self._fwd_cache[key] = jax.jit(fwd)
+
+        ng, nj, ne = caps
+        sample = state.build_sample(
+            {"grain": x["grain"], "joint": x["joint"]},
+            {schema.EDGE_TYPES[0]: edges["push"],
+             schema.EDGE_TYPES[1]: edges["pull"],
+             schema.EDGE_TYPES[2]: edges["connect"]},
+            edge_attr,
+            {"grain": self._mask["grain"], "joint": self._mask["joint"]},
+            grain_cap=ng, joint_cap=nj, jj_edge_cap=ne,
+        )
+        y_r, y_c = self._fwd_cache[key](sample)
+        return jax.tree_util.tree_map(np.asarray, (y_r, y_c)), sample
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        hg0,                      # HeteroState (test sample, gradient-augmented)
+        traj,                     # TrajectoryExtractor with PF truth loaded
+        *,
+        span: Optional[int] = None,
+        compare: bool = True,
+        growth_height: float = -1.0,
+        reconstruct: bool = True,
+        nucleation_density: float = 0.0,
+        reconst_mesh_size: float = 0.08,
+    ) -> Dict:
+        span = span or getattr(hg0, "span", 6)
+        t_start = time.time()
+
+        # ---- initialization (test.py:288-347) ----------------------------
+        x = {
+            "grain": np.array(hg0.feature_dicts["grain"], dtype=np.float64),
+            "joint": np.array(hg0.feature_dicts["joint"], dtype=np.float64),
+        }
+        edges = {
+            "push": np.array(hg0.edge_index_dicts[schema.EDGE_TYPES[0]], dtype=np.int64),
+            "pull": np.array(hg0.edge_index_dicts[schema.EDGE_TYPES[1]], dtype=np.int64),
+            "connect": np.array(hg0.edge_index_dicts[schema.EDGE_TYPES[2]], dtype=np.int64),
+        }
+        edge_attr = {
+            et: np.array(hg0.edge_weight_dicts[et], dtype=np.float64)
+            for et in schema.EDGE_TYPES
+        }
+        # live jj edges only (deleted slots were compacted by append_history)
+        live = edges["connect"][0] > -1
+        edges["connect"] = edges["connect"][:, live]
+
+        mask = {
+            "grain": np.array(hg0.mask["grain"], dtype=np.int64).reshape(-1, 1),
+            "joint": np.ones((len(x["joint"]), 1), dtype=np.int64),  # test.py:291
+        }
+        self._mask = mask
+
+        # planar bookkeeping graph for reconstruction/QoIs
+        pg = PlanarGraph(bc=traj.BC, imagesize=traj.imagesize)
+        pg.raise_err = False
+        pg.max_y = getattr(traj, "max_y", 1.0)
+        num_regions = traj.num_regions
+        theta_z = np.array(traj.theta_z)
+
+        area_traj = [dict(traj.area_traj[0])] if traj.area_traj else [{}]
+        extraV_traj = []
+
+        imagesize = (
+            (int(traj.lxd / reconst_mesh_size) + 1, int(traj.lyd / reconst_mesh_size) + 1)
+            if reconstruct else (0, 0)
+        )
+
+        s_full = traj.patch_size / traj.mesh_size + 1
+
+        def gnn_update(frame, X, topo):
+            """graph_trajectory.GNN_update (:1010-1103)."""
+            X_j = X["joint"][:, :2]
+            X_g = X["grain"][:, 3:5]
+            mask_j = mask["joint"][:, 0]
+            mask_g = mask["grain"][:, 0]
+            pg.vertices = {
+                i: X_j[i].tolist() for i in range(len(X_j)) if mask_j[i] == 1
+            }
+            area_counts = {}
+            area_sum = np.sum(X_g[:, 0] * mask_g) / (traj.lxd / traj.patch_size) ** 2
+            for idx in range(len(X_g)):
+                if mask_g[idx] > 0:
+                    area_counts[idx + 1] = X_g[idx, 0] * s_full**2 / area_sum
+            extraV_traj.append(mask_g * X_g[:, 1] / schema.TARGET_SCALING["grain"] * s_full**3)
+            if frame > 0:
+                area_traj.append(area_counts)
+            else:
+                area_traj[0] = area_counts
+            if topo:
+                v2j = {}
+                for grain, joint in edges["push"].T:
+                    v2j.setdefault(int(joint), set()).add(int(grain) + 1)
+                for k, v in v2j.items():
+                    assert len(v) == 3, (k, v)
+                pg.joint2vertex = {tuple(sorted(v)): k for k, v in v2j.items()}
+                pg.vertex2joint = {v: k for k, v in pg.joint2vertex.items()}
+                pg.edges = [[int(i), int(j)] for i, j in edges["connect"].T]
+            pg.rebuild_regions()
+            return area_counts
+
+        frames_total = traj.frames
+        if growth_height > 0:
+            final_height = traj.ini_height + growth_height
+        else:
+            final_height = traj.final_height
+        frames_total = int((final_height - traj.ini_height) / TRAIN_DELTA_Z) + 1
+        frame_ratio = getattr(traj, "train_test_frame_ratio", 1)
+
+        gnn_update(0, x, topo=True)
+        if reconstruct:
+            pg.rasterize(imagesize)
+        layer_err_list = []
+        if compare:
+            pg.layer_error(traj.alpha_pde_frames[:, :, 0].T)
+            layer_err_list.append((traj.ini_height, pg.error_layer))
+
+        grain_event_list: list = []
+        grain_acc_list = [(traj.ini_height, 0, 0, 0)]
+        grain_events_truth = traj.grain_events if traj.grain_events else [set()] * frames_total
+
+        # padded capacities (one compile while they hold)
+        def caps():
+            return (
+                state.round_up(len(x["grain"]), 8),
+                state.round_up(len(x["joint"]), 16),
+                state.round_up(edges["connect"].shape[1], 32),
+            )
+
+        # ---- the rollout loop (test.py:353-577) -------------------------
+        for frame in range(span, frames_total, span):
+            self._log(f"--- progress {frame/(frames_total-1):1.2f} ---")
+            height = traj.ini_height + frame * TRAIN_DELTA_Z
+
+            # <1> forward
+            (y_r, y_c), _sample = self._forward(
+                {k: v.astype(np.float32) for k, v in x.items()}, edges, edge_attr, caps()
+            )
+            ng, nj = len(x["grain"]), len(x["joint"])
+            ne = edges["connect"].shape[1]
+            pred = {
+                "joint": np.asarray(y_r["joint"], np.float64)[:nj],
+                "grain": np.asarray(y_r["grain"], np.float64)[:ng],
+                "grain_area": np.asarray(y_r["grain_area"], np.float64)[:ng],
+                "edge_event": np.asarray(y_c["edge_event"], np.float64)[:ne],
+                "edge": np.asarray(y_c["edge"], np.float64)[:ne],
+            }
+
+            # <2> feature integration (models.Rmodel.update, :473-527)
+            x["joint"][:, :2] += pred["joint"] / schema.TARGET_SCALING["joint"]
+            x["grain"][:, schema.GRAIN_AREA_COL] += (
+                pred["grain"][:, 0] / schema.TARGET_SCALING["grain"]
+            )
+            x["grain"][:, schema.GRAIN_EXTRAV_COL] = pred["grain"][:, 1]
+            x["joint"][:, 6:8] = pred["joint"]
+            x["grain"][:, schema.GRAIN_DAREA_COL] = pred["grain"][:, 0]
+            # z advance + clamp (test.py:401-407)
+            x["grain"][:, 2] += span / (TRAIN_FRAMES + 1)
+            x["joint"][:, 2] += span / (TRAIN_FRAMES + 1)
+            zmax = TRAIN_FRAMES / (TRAIN_FRAMES + 1)
+            if x["grain"][0, 2] > zmax:
+                x["grain"][:, 2] = zmax
+                x["joint"][:, 2] = zmax
+
+            # <3> events + topology edits
+            live_g = mask["grain"][:, 0] > 0
+            cand = np.nonzero(live_g & (pred["grain_area"] < self.r_threshold))[0]
+            cand = cand[np.argsort(pred["grain_area"][cand])]
+            if traj.BC == "noflux":
+                cand = cand[cand != 0]
+            pred["grain_event"] = cand
+
+            nucleation_prob = (
+                nucleation_density * traj.lxd * traj.lxd * TRAIN_DELTA_Z
+                / max(int(mask["joint"].sum()), 1)
+            )
+            x, edges, switching_list, extra_events = self.editor.update(
+                x, edges, pred, mask, nucleation_prob=nucleation_prob
+            )
+            pred["grain_event"] = np.concatenate([pred["grain_event"], extra_events])
+
+            if len(x["grain"]) > num_regions:
+                add_angles = np.arccos(x["grain"][num_regions:, 5])
+                theta_z = np.concatenate([theta_z, add_angles])
+                num_regions = len(x["grain"])
+
+            grain_event_list.extend(int(g) for g in pred["grain_event"])
+            topo = len(pred["grain_event"]) > 0 or len(switching_list) > 0
+
+            # <4> reconstruction + evaluation
+            gnn_update(frame, x, topo)
+            truth_frames = grain_events_truth[: frame // frame_ratio + 1]
+            truth = set()
+            for s_ in truth_frames:
+                truth |= set(s_)
+            truth = {int(i) - 1 for i in truth}
+            tp, n_truth, n_pred = event_hit_rate(set(grain_event_list), truth)
+            grain_acc_list.append((height, n_truth, n_pred, tp))
+            self._log(f"grain events hit rate: {tp}/{n_truth} (predicted {n_pred})")
+
+            if reconstruct:
+                pg.rasterize(imagesize)
+            if compare:
+                t_idx = frame // frame_ratio
+                t_idx = min(t_idx, traj.alpha_pde_frames.shape[2] - 1)
+                pg.layer_error(traj.alpha_pde_frames[:, :, t_idx].T)
+                layer_err_list.append((height, pg.error_layer))
+                self._log(f"layer error {pg.error_layer:.4f}")
+
+            # <5> next-step inputs: grain centers + fresh edge lengths
+            for grain, coor in pg.region_center.items():
+                x["grain"][grain - 1, :2] = coor
+            edge_attr = {}
+            for et, key in ((schema.EDGE_TYPES[0], "push"),
+                            (schema.EDGE_TYPES[1], "pull"),
+                            (schema.EDGE_TYPES[2], "connect")):
+                e = edges[key]
+                src_t, dst_t = et[0], et[-1]
+                src_x = x[src_t][e[0], :2]
+                dst_x = x[dst_t][e[1], :2]
+                rel = src_x - dst_x
+                rel += -1.0 * (rel > 0.5) + 1.0 * (rel < -0.5)
+                edge_attr[et] = np.sqrt(np.sum(rel**2, axis=1))[:, None]
+
+        elapsed = time.time() - t_start
+
+        # ---- final QoIs (test.py:584-601) -------------------------------
+        result = {
+            "inference_time": elapsed,
+            "grain_acc_list": grain_acc_list,
+            "layer_err_list": layer_err_list,
+            "final_layer_error": layer_err_list[-1][1] if layer_err_list else None,
+            "mean_layer_error": float(np.mean([e for _, e in layer_err_list])) if layer_err_list else None,
+            "events_tp": grain_acc_list[-1][3],
+            "events_truth": grain_acc_list[-1][1],
+            "events_pred": grain_acc_list[-1][2],
+        }
+        delta_h = (
+            (final_height - traj.ini_height) / traj.mesh_size / (frames_total - 1) * span
+        )
+        vol_pred = volume_graph(area_traj, extraV_traj, num_regions, delta_h)
+        result["misorientation"] = misorientation_curve(theta_z, vol_pred)
+        if compare and hasattr(traj, "totalV_frames"):
+            vol_truth = volume_truth(
+                traj.totalV_frames, traj.extraV_frames, span, frames_total,
+                traj.ini_height, final_height, traj.mesh_size,
+                traj.imagesize[0], frame_ratio,
+            )
+            ks, p, err_mu = size_distribution_ks(
+                vol_pred[-1], vol_truth[-1], traj.mesh_size
+            )
+            result.update({"KS": ks, "KS_p": p, "size_err": err_mu})
+        return result
