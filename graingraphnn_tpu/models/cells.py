@@ -90,24 +90,30 @@ def apply_pgclstm(
     joint_in: jnp.ndarray,
     state: Tuple[Dict, Dict],
     out_channels: int,
+    src_gather=None,
 ):
-    """One recurrent step. state = (h, c), each {'grain': [NG,C], 'joint': [NJ,C]}."""
+    """One recurrent step. state = (h, c), each {'grain': [NG,C], 'joint': [NJ,C]}.
+
+    `src_gather(xg, xj) -> (xg_full, xj_full)` materializes the full source
+    node tables when node arrays are row-sharded across a mesh axis (graph
+    partitioning, parallel.partition); identity when None."""
     C = out_channels
     h, c = state
     xg = jnp.concatenate([grain_in, h["grain"]], axis=1)
     xj = jnp.concatenate([joint_in, h["joint"]], axis=1)
+    xg_src, xj_src = (xg, xj) if src_gather is None else src_gather(xg, xj)
 
     kw = dict(num_gates=NUM_GATES, out_channels=C)
     out_push = apply_period_conv(
-        params["conv"]["push"], xg, xj, sample.push_nbr, sample.push_len,
+        params["conv"]["push"], xg_src, xj, sample.push_nbr, sample.push_len,
         sample.push_mask, **kw,
     )
     out_connect = apply_period_conv(
-        params["conv"]["connect"], xj, xj, sample.connect_nbr,
+        params["conv"]["connect"], xj_src, xj, sample.connect_nbr,
         sample.connect_len, sample.connect_mask, **kw,
     )
     out_pull = apply_period_conv(
-        params["conv"]["pull"], xj, xg, sample.pull_nbr, sample.pull_len,
+        params["conv"]["pull"], xj_src, xg, sample.pull_nbr, sample.pull_len,
         sample.pull_mask, **kw,
     )
 
@@ -178,21 +184,23 @@ def init_sage_clstm(key, in_grain, in_joint, out_channels, dtype=jnp.float32):
     return {"conv": conv, "bias": bias}
 
 
-def apply_sage_clstm(params, sample, grain_in, joint_in, state, out_channels):
+def apply_sage_clstm(params, sample, grain_in, joint_in, state, out_channels,
+                     src_gather=None):
     C = out_channels
     h, c = state
     xg = jnp.concatenate([grain_in, h["grain"]], axis=1)
     xj = jnp.concatenate([joint_in, h["joint"]], axis=1)
+    xg_src, xj_src = (xg, xj) if src_gather is None else src_gather(xg, xj)
     kw = dict(num_gates=NUM_GATES, out_channels=C)
     out_push = apply_sage_conv(
-        params["conv"]["push"], xg, xj, sample.push_nbr, sample.push_mask, **kw
+        params["conv"]["push"], xg_src, xj, sample.push_nbr, sample.push_mask, **kw
     )
     out_connect = apply_sage_conv(
-        params["conv"]["connect"], xj, xj, sample.connect_nbr,
+        params["conv"]["connect"], xj_src, xj, sample.connect_nbr,
         sample.connect_mask, **kw,
     )
     out_pull = apply_sage_conv(
-        params["conv"]["pull"], xj, xg, sample.pull_nbr, sample.pull_mask, **kw
+        params["conv"]["pull"], xj_src, xg, sample.pull_nbr, sample.pull_mask, **kw
     )
     joint_gates = out_push + out_connect + params["bias"]["joint"].reshape(-1)
     grain_gates = out_pull + params["bias"]["grain"].reshape(-1)
@@ -201,13 +209,16 @@ def apply_sage_clstm(params, sample, grain_in, joint_in, state, out_channels):
     return {"grain": h_g, "joint": h_j}, {"grain": c_g, "joint": c_j}
 
 
-def apply_cell(params, sample, grain_in, joint_in, state, out_channels, kind="pgclstm"):
+def apply_cell(params, sample, grain_in, joint_in, state, out_channels,
+               kind="pgclstm", src_gather=None):
     """kind is static config ('pgclstm' for layer 0, 'sage' for layers >= 1,
     mirroring models.py:194-215); it lives in the hyperparameters, not in the
     params pytree, so optimizers see arrays only."""
     if kind == "pgclstm":
-        return apply_pgclstm(params, sample, grain_in, joint_in, state, out_channels)
-    return apply_sage_clstm(params, sample, grain_in, joint_in, state, out_channels)
+        return apply_pgclstm(params, sample, grain_in, joint_in, state,
+                             out_channels, src_gather)
+    return apply_sage_clstm(params, sample, grain_in, joint_in, state,
+                            out_channels, src_gather)
 
 
 def zero_state(sample: GraphSample, out_channels: int, dtype=jnp.float32):

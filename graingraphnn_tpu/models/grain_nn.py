@@ -48,7 +48,8 @@ def _init_stack(key, hp: HyperParams, dtype):
     return stack
 
 
-def _apply_stack(stack, hp: HyperParams, sample, grain_in, joint_in, states):
+def _apply_stack(stack, hp: HyperParams, sample, grain_in, joint_in, states,
+                 src_gather=None):
     """states: list of (h, c) per layer, or None for zeros. Returns the new
     list of (h, c). seq_len is 1 (models.py:235)."""
     C = hp.layer_size
@@ -58,19 +59,22 @@ def _apply_stack(stack, hp: HyperParams, sample, grain_in, joint_in, states):
     g_in, j_in = grain_in, joint_in
     for layer, (params, kind) in enumerate(zip(stack, hp.cell_kinds)):
         h, c = cells.apply_cell(
-            params, sample, g_in, j_in, states[layer], C, kind=kind
+            params, sample, g_in, j_in, states[layer], C, kind=kind,
+            src_gather=src_gather,
         )
         new_states.append((h, c))
         g_in, j_in = h["grain"], h["joint"]
     return new_states
 
 
-def _encode_decode(params, hp, sample):
+def _encode_decode(params, hp, sample, src_gather=None):
     enc_states = _apply_stack(
-        params["encoder"], hp, sample, sample.grain_x, sample.joint_x, None
+        params["encoder"], hp, sample, sample.grain_x, sample.joint_x, None,
+        src_gather,
     )
     dec_states = _apply_stack(
-        params["decoder"], hp, sample, sample.grain_x, sample.joint_x, enc_states
+        params["decoder"], hp, sample, sample.grain_x, sample.joint_x,
+        enc_states, src_gather,
     )
     h, _c = dec_states[-1]
     return h
@@ -99,14 +103,18 @@ def init_regressor(key: jax.Array, hp: HyperParams, dtype=jnp.float32) -> Dict:
     return params
 
 
-def apply_regressor(params: Dict, hp: HyperParams, sample: GraphSample) -> Dict:
+def apply_regressor(params: Dict, hp: HyperParams, sample: GraphSample,
+                    src_gather=None, node_gather=None) -> Dict:
     """Returns y_dict:
       'joint': [NJ, 2] tanh(dx,dy) in [-1,1]
       'grain': [NG, 2] (tanh darea, relu extraV)
       'grain_area': [NG] predicted absolute area (models.py:445-446)
       'edge' (optional): [E] tanh length change
+
+    src_gather/node_gather materialize full node tables under row sharding
+    (parallel.partition); None on a single device.
     """
-    h = _encode_decode(params, hp, sample)
+    h = _encode_decode(params, hp, sample, src_gather)
     hg, hj = h["grain"], h["joint"]
 
     y_joint = jnp.tanh(hj @ params["head"]["joint"]["w"] + params["head"]["joint"]["b"])
@@ -122,10 +130,11 @@ def apply_regressor(params: Dict, hp: HyperParams, sample: GraphSample) -> Dict:
         "grain_area": area,
     }
     if hp.edge_len and "lin1" in params:
+        hj_full = hj if node_gather is None else node_gather(hj)
         pair = jnp.concatenate(
             [
-                jnp.take(hj, sample.jj_src, axis=0),
-                jnp.take(hj, sample.jj_dst, axis=0),
+                jnp.take(hj_full, sample.jj_src, axis=0),
+                jnp.take(hj_full, sample.jj_dst, axis=0),
                 sample.jj_len[:, None],
             ],
             axis=1,
@@ -164,17 +173,19 @@ def init_classifier(
     }
 
 
-def apply_classifier(params: Dict, hp: HyperParams, sample: GraphSample) -> Dict:
+def apply_classifier(params: Dict, hp: HyperParams, sample: GraphSample,
+                     src_gather=None, node_gather=None) -> Dict:
     """Returns y_dict:
       'edge_event': [E] raw logits per directed jj edge
       'edge': [E, 2] tanh length prediction
     """
-    h = _encode_decode(params, hp, sample)
+    h = _encode_decode(params, hp, sample, src_gather)
     hj = h["joint"]
+    hj_full = hj if node_gather is None else node_gather(hj)
     pair = jnp.concatenate(
         [
-            jnp.take(hj, sample.jj_src, axis=0),
-            jnp.take(hj, sample.jj_dst, axis=0),
+            jnp.take(hj_full, sample.jj_src, axis=0),
+            jnp.take(hj_full, sample.jj_dst, axis=0),
             sample.jj_len[:, None],
         ],
         axis=1,

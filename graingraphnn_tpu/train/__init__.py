@@ -1,1 +1,1 @@
-from . import loss, metrics, trainer  # noqa: F401
+from . import checkpoint, loss, metrics, trainer  # noqa: F401

@@ -1,0 +1,88 @@
+"""Multi-device correctness on the virtual 8-CPU mesh: the partitioned
+(graph-sharded) forward and the dp-sharded train step must match the
+single-device implementations."""
+
+import jax
+import numpy as np
+import optax
+
+from graingraphnn_tpu.data.dataset import GraphDataset
+from graingraphnn_tpu.graph import state
+from graingraphnn_tpu.models import grain_nn, hyper
+from graingraphnn_tpu.parallel import data_parallel, mesh as mesh_mod, partition
+from graingraphnn_tpu.train import trainer
+from tests.util import synthetic_sample
+
+
+def test_partitioned_regressor_matches_single_device():
+    hp = hyper.regressor(0, layer_size=8)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    s = synthetic_sample(ng=16, nj=32)  # 96 jj edges; all divisible by 4
+
+    y_single = grain_nn.apply_regressor(params, hp, s)
+
+    m = mesh_mod.make_mesh([("gp", 4)], n_devices=4)
+    fwd = partition.make_partitioned_forward(hp, m, model="regressor")
+    y_part = fwd(params, s)
+
+    for k in ("joint", "grain", "grain_area"):
+        np.testing.assert_allclose(
+            np.asarray(y_part[k]), np.asarray(y_single[k]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_partitioned_classifier_matches_single_device():
+    hp = hyper.classifier_transfered(1, layer_size=8)
+    params = grain_nn.init_classifier(jax.random.PRNGKey(0), hp)
+    s = synthetic_sample(ng=16, nj=32)
+
+    y_single = grain_nn.apply_classifier(params, hp, s)
+    m = mesh_mod.make_mesh([("gp", 4)], n_devices=4)
+    fwd = partition.make_partitioned_forward(hp, m, model="classifier")
+    y_part = fwd(params, s)
+    np.testing.assert_allclose(
+        np.asarray(y_part["edge_event"]), np.asarray(y_single["edge_event"]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_dp_train_step_matches_single_device():
+    hp = hyper.regressor(0, layer_size=8, batch_size=8)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    samples = [synthetic_sample(ng=16, nj=32, seed=i, with_targets=True) for i in range(8)]
+    batch = state.stack(samples)
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    # Adam rescales near-zero gradients, amplifying reduction-order float
+    # noise into ~1e-5 param wiggle — so compare behavior (losses over two
+    # steps), not raw updated params.
+    single = trainer.make_train_step(hp, tx)
+    p1, o1, l1 = single(params, opt_state, batch)
+    _, _, l1b = single(p1, o1, batch)
+
+    m = mesh_mod.make_mesh([("dp", 8)])
+    dp_step = data_parallel.make_dp_train_step(hp, tx, m)
+    p2, o2, l2 = dp_step(params, opt_state, batch)
+    _, _, l2b = dp_step(p2, o2, batch)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(float(l1b), float(l2b), rtol=1e-3)
+    assert float(l2b) < float(l2)
+
+
+def test_partitioned_train_step_runs_and_learns():
+    hp = hyper.regressor(0, layer_size=8)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    s = synthetic_sample(ng=16, nj=32, with_targets=True)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    m = mesh_mod.make_mesh([("gp", 4)], n_devices=4)
+    step = partition.make_partitioned_train_step(hp, tx, m)
+    losses = []
+    for _ in range(5):
+        params, opt_state, lval = step(params, opt_state, s)
+        losses.append(float(lval))
+    assert losses[-1] < losses[0]
