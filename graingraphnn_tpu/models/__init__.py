@@ -1,1 +1,1 @@
-from . import cells, grain_nn, hyper  # noqa: F401
+from . import cells, grain_nn, hyper, lstm  # noqa: F401

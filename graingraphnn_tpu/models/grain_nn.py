@@ -19,8 +19,10 @@ import jax.numpy as jnp
 
 from ..graph import schema
 from ..graph.state import GraphSample
-from . import cells
+from . import cells, lstm
 from .hyper import HyperParams
+
+HISTORY_DIMS = {"joint": 2, "grain": 1}  # models.py:383
 
 
 def _torch_linear_init(key, fan_in, fan_out, dtype=jnp.float32):
@@ -86,7 +88,7 @@ def _encode_decode(params, hp, sample, src_gather=None):
 
 
 def init_regressor(key: jax.Array, hp: HyperParams, dtype=jnp.float32) -> Dict:
-    k_enc, k_dec, k_hg, k_hj, k_e = jax.random.split(key, 5)
+    k_enc, k_dec, k_hg, k_hj, k_e, k_l = jax.random.split(key, 6)
     C = hp.layer_size
     head_in = 2 * C if hp.history else C
     params = {
@@ -97,9 +99,19 @@ def init_regressor(key: jax.Array, hp: HyperParams, dtype=jnp.float32) -> Dict:
             "joint": _torch_linear_init(k_hj, head_in, hp.n_joint_targets, dtype),
         },
     }
+    if hp.history:
+        # optional temporal branch over past gradients (models.py:385-390)
+        kg, kj = jax.random.split(k_l)
+        params["lstm"] = {
+            "grain": lstm.init_lstm(kg, HISTORY_DIMS["grain"], C, dtype),
+            "joint": lstm.init_lstm(kj, HISTORY_DIMS["joint"], C, dtype),
+        }
     if hp.edge_len:
-        # optional edge-length head (models.py:395-396,455-464)
-        params["lin1"] = _torch_linear_init(k_e, 2 * head_in + 2, 1, dtype)
+        # optional edge-length head (models.py:395-396,455-464). The
+        # reference declares Linear(2C+2, 1) but feeds a 2C+1 pair feature
+        # ([h_src, h_dst, edge_len]) — that path would not run as shipped;
+        # here the head is sized consistently with its input.
+        params["lin1"] = _torch_linear_init(k_e, 2 * head_in + 1, 1, dtype)
     return params
 
 
@@ -116,6 +128,23 @@ def apply_regressor(params: Dict, hp: HyperParams, sample: GraphSample,
     """
     h = _encode_decode(params, hp, sample, src_gather)
     hg, hj = h["grain"], h["joint"]
+    if hp.history and "lstm" in params:
+        hg = jnp.concatenate([
+            hg,
+            lstm.apply_lstm(
+                params["lstm"]["grain"],
+                lstm.history_inputs(sample.grain_x, HISTORY_DIMS["grain"], hp.window),
+                hp.layer_size,
+            ),
+        ], axis=1)
+        hj = jnp.concatenate([
+            hj,
+            lstm.apply_lstm(
+                params["lstm"]["joint"],
+                lstm.history_inputs(sample.joint_x, HISTORY_DIMS["joint"], hp.window),
+                hp.layer_size,
+            ),
+        ], axis=1)
 
     y_joint = jnp.tanh(hj @ params["head"]["joint"]["w"] + params["head"]["joint"]["b"])
     y_grain_raw = hg @ params["head"]["grain"]["w"] + params["head"]["grain"]["b"]

@@ -24,6 +24,9 @@ parser.add_argument("--epochs_r", type=int, default=200)
 parser.add_argument("--epochs_c", type=int, default=100)
 parser.add_argument("--decay_r", type=int, default=30)
 parser.add_argument("--decay_c", type=int, default=30)
+parser.add_argument("--batch_c", type=int, default=4)
+parser.add_argument("--pos_weight", type=float, default=4.0)
+parser.add_argument("--skip_regressor", action="store_true")
 parser.add_argument("--data", default="/root/repo/data_cache/graphs/train_seed10020.pkl")
 parser.add_argument("--out", default="/root/repo/data_cache/model")
 args = parser.parse_args()
@@ -83,14 +86,24 @@ os.makedirs(args.out, exist_ok=True)
 
 # ---- regressor --------------------------------------------------------------
 hp_r = hyper.regressor(0, epoch=args.epochs_r, decay_step=args.decay_r)
-params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
-t0 = time.time()
-params_r, hist_r = trainer.train(hp_r, params_r, train_ds, valid_ds)
-print("regressor training time %.1fs" % (time.time() - t0), flush=True)
-checkpoint.save(os.path.join(args.out, "regressor0"), params_r, hp_r)
+if args.skip_regressor:
+    params_r, hp_r, _ = checkpoint.load(os.path.join(args.out, "regressor0"))
+    print("loaded existing regressor", flush=True)
+else:
+    params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
+    t0 = time.time()
+    params_r, hist_r = trainer.train(hp_r, params_r, train_ds, valid_ds)
+    print("regressor training time %.1fs" % (time.time() - t0), flush=True)
+    checkpoint.save(os.path.join(args.out, "regressor0"), params_r, hp_r)
 
 # ---- classifier (transfer) --------------------------------------------------
-hp_c = hyper.classifier_transfered(1, epoch=args.epochs_c, decay_step=args.decay_c)
+# deviation from the shipped config (batch 32, pos_weight 1): with only ~36
+# samples in this mount, batch 32 yields 1 step/epoch and the BCE collapses
+# to all-negative; smaller batches + positive weighting recover learning
+hp_c = hyper.classifier_transfered(
+    1, epoch=args.epochs_c, decay_step=args.decay_c,
+    batch_size=args.batch_c, pos_weight=args.pos_weight,
+)
 params_c = grain_nn.init_classifier(
     jax.random.PRNGKey(36), hp_c, regressor_params=params_r
 )

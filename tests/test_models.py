@@ -103,3 +103,21 @@ def test_grad_flows():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_regressor_history_branch():
+    hp = hyper.regressor(0, layer_size=8, history=True, window=1)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    s = synthetic_sample(ng=16, nj=32)
+    y = grain_nn.apply_regressor(params, hp, s)
+    assert y["joint"].shape == (32, 2)
+    assert "lstm" in params
+
+
+def test_regressor_edge_len_head():
+    hp = hyper.regressor(0, layer_size=8, edge_len=True)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    s = synthetic_sample(ng=16, nj=32)
+    y = grain_nn.apply_regressor(params, hp, s)
+    assert y["edge"].shape == (s.num_jj_edges,)
+    assert np.all(np.abs(np.asarray(y["edge"])) <= 1.0)
