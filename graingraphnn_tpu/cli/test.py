@@ -1,0 +1,76 @@
+"""Rollout inference CLI (reference test.py:72-611).
+
+  python -m graingraphnn_tpu.cli.test --rawdat_dir=... --seed=10020 \
+      --model_dir=./model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("Rollout inference")
+    p.add_argument("--platform", type=str, default="cpu", choices=["tpu", "cpu"])
+    p.add_argument("--model_dir", type=str, default="./model/")
+    p.add_argument("--regressor_id", type=int, default=0)
+    p.add_argument("--classifier_id", type=int, default=1)
+    p.add_argument("--rawdat_dir", type=str, default="/root/reference/rawdat_PF/40_40")
+    p.add_argument("--cache_dir", type=str, default="./data_cache")
+    p.add_argument("--seed", type=int, default=10020)
+    p.add_argument("--lxd", type=int, default=40)
+    p.add_argument("--span", type=int, default=0)
+    p.add_argument("--growth_height", type=float, default=-1)
+    p.add_argument("--nucleation_density", type=float, default=0.0)
+    p.add_argument("--no-compare", dest="compare", action="store_false")
+    p.set_defaults(compare=True)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..data import extraction
+    from ..rollout.engine import RolloutEngine
+    from ..train import checkpoint
+
+    traj = extraction.TrajectoryExtractor(
+        lxd=args.lxd, seed=args.seed, frames=121
+    )
+    traj.match_graph = False
+    traj.extract(args.rawdat_dir, cache_dir=args.cache_dir)
+    hg0 = extraction.make_test_sample(traj, span=args.span or 6)
+
+    params_r, hp_r, _ = checkpoint.load(
+        os.path.join(args.model_dir, f"regressor{args.regressor_id}")
+    )
+    params_c, hp_c, extra = checkpoint.load(
+        os.path.join(args.model_dir, f"classifier{args.classifier_id}")
+    )
+    engine = RolloutEngine(
+        params_r, hp_r, params_c, hp_c,
+        c_threshold=extra.get("threshold", 0.6), seed=args.seed,
+        verbose=args.verbose,
+    )
+    res = engine.run(
+        hg0, traj, span=args.span or 6, compare=args.compare,
+        growth_height=args.growth_height,
+        nucleation_density=args.nucleation_density,
+    )
+    print(json.dumps({
+        "final_layer_error": res["final_layer_error"],
+        "mean_layer_error": res["mean_layer_error"],
+        "events_tp": res["events_tp"],
+        "events_truth": res["events_truth"],
+        "events_pred": res["events_pred"],
+        "KS": res.get("KS"),
+        "inference_time_s": round(res["inference_time"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
