@@ -131,8 +131,8 @@ def test_nucleation_adds_grain_and_junctions():
     x, edges, mask = load_graph()
     y = neutral_pred(x, edges)
     ng, nj = len(x["grain"]), len(x["joint"])
-    ed = TopologyEditor(threshold=0.6, rng=np.random.default_rng(1))
-    # probability 1/nj: expect about one site; rng seed chosen to yield >=1
+    ed = TopologyEditor(threshold=0.6, rng=np.random.default_rng(0))
+    # rng seed 0 with p=0.005 over 236 junctions yields exactly one site
     x2, edges2, switching, extra = ed.update(
         x, edges, y, mask, nucleation_prob=0.005
     )
