@@ -134,6 +134,25 @@ class RolloutEngine:
         }
         self._mask = mask
 
+        # patch rescaling for domains larger than the 40um training patch
+        # (test.py:29-55,310-312): local geometry statistics are scaled to
+        # match the training distribution, with per-node offsets folded out
+        # when reconstructing in global coordinates
+        domain_factor = traj.lxd / traj.patch_size
+        offset_j = np.zeros((len(x["joint"]), 2))
+        if domain_factor > 1:
+            for et in edge_attr:
+                edge_attr[et] = edge_attr[et] * domain_factor
+            x["grain"][:, :2] *= domain_factor
+            x["joint"][:, :2] *= domain_factor
+            offset_j = np.floor(x["joint"][:, :2])
+            x["joint"][:, :2] -= offset_j
+            if traj.BC == "periodic":
+                off_g = x["grain"][:, :2] - x["grain"][:, :2] % 1
+            else:
+                off_g = np.floor(x["grain"][:, :2])
+            x["grain"][:, :2] -= off_g
+
         # planar bookkeeping graph for reconstruction/QoIs
         pg = PlanarGraph(bc=traj.BC, imagesize=traj.imagesize)
         pg.raise_err = False
@@ -151,8 +170,19 @@ class RolloutEngine:
 
         s_full = traj.patch_size / traj.mesh_size + 1
 
+        def to_global(X):
+            """Fold patch-scaling offsets out for reconstruction/QoIs
+            (test.py:471-474)."""
+            if domain_factor <= 1:
+                return X
+            Xg = {k: v.copy() for k, v in X.items()}
+            n = len(offset_j)
+            Xg["joint"][:n, :2] = (Xg["joint"][:n, :2] + offset_j) / domain_factor
+            return Xg
+
         def gnn_update(frame, X, topo):
             """graph_trajectory.GNN_update (:1010-1103)."""
+            X = to_global(X)
             X_j = X["joint"][:, :2]
             X_g = X["grain"][:, 3:5]
             mask_j = mask["joint"][:, 0]
@@ -292,7 +322,12 @@ class RolloutEngine:
 
             # <5> next-step inputs: grain centers + fresh edge lengths
             for grain, coor in pg.region_center.items():
-                x["grain"][grain - 1, :2] = coor
+                if domain_factor > 1:
+                    x["grain"][grain - 1, :2] = (
+                        np.asarray(coor) * domain_factor
+                    ) % 1  # test.py:556-559
+                else:
+                    x["grain"][grain - 1, :2] = coor
             edge_attr = {}
             for et, key in ((schema.EDGE_TYPES[0], "push"),
                             (schema.EDGE_TYPES[1], "pull"),

@@ -27,6 +27,10 @@ parser.add_argument("--decay_c", type=int, default=30)
 parser.add_argument("--batch_c", type=int, default=4)
 parser.add_argument("--pos_weight", type=float, default=4.0)
 parser.add_argument("--skip_regressor", action="store_true")
+parser.add_argument("--resume_regressor", action="store_true",
+                    help="init regressor from the saved checkpoint")
+parser.add_argument("--lr_r", type=float, default=0.0, help="override regressor lr")
+parser.add_argument("--skip_classifier", action="store_true")
 parser.add_argument("--data", default="/root/repo/data_cache/graphs/train_seed10020.pkl")
 parser.add_argument("--out", default="/root/repo/data_cache/model")
 args = parser.parse_args()
@@ -86,17 +90,27 @@ os.makedirs(args.out, exist_ok=True)
 
 # ---- regressor --------------------------------------------------------------
 hp_r = hyper.regressor(0, epoch=args.epochs_r, decay_step=args.decay_r)
+if args.lr_r > 0:
+    import dataclasses
+    hp_r = dataclasses.replace(hp_r, lr=args.lr_r)
 if args.skip_regressor:
     params_r, hp_r, _ = checkpoint.load(os.path.join(args.out, "regressor0"))
     print("loaded existing regressor", flush=True)
 else:
-    params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
+    if args.resume_regressor:
+        params_r, _, _ = checkpoint.load(os.path.join(args.out, "regressor0"))
+        print("resuming regressor from checkpoint", flush=True)
+    else:
+        params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
     t0 = time.time()
     params_r, hist_r = trainer.train(hp_r, params_r, train_ds, valid_ds)
     print("regressor training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(os.path.join(args.out, "regressor0"), params_r, hp_r)
 
 # ---- classifier (transfer) --------------------------------------------------
+if args.skip_classifier:
+    print("done", flush=True)
+    sys.exit(0)
 # deviation from the shipped config (batch 32, pos_weight 1): with only ~36
 # samples in this mount, batch 32 yields 1 step/epoch and the BCE collapses
 # to all-negative; smaller batches + positive weighting recover learning
