@@ -292,6 +292,26 @@ class RolloutEngine:
             )
             pred["grain_event"] = np.concatenate([pred["grain_event"], extra_events])
 
+            # no-flux boundary handling (test.py:446-466): reset the boundary
+            # grain, snap boundary joints to the wall, clamp coordinates
+            if traj.BC == "noflux":
+                x["grain"][0, :2] = 0.5
+                x["grain"][0, 3:5] = 0
+                x["grain"][0, -1] = 0
+                n_off = len(offset_j)
+                xj = x["joint"]
+                xj[:n_off, :2] = (xj[:n_off, :2] + offset_j) / max(domain_factor, 1)
+                max_y = getattr(traj, "max_y", 1.0)
+                bnd = np.unique(edges["push"][1, edges["push"][0] == 0])
+                for p in bnd:
+                    d = np.array([xj[p, 0], 1.0 - xj[p, 0], xj[p, 1], max_y - xj[p, 1]])
+                    side = int(np.argmin(d))
+                    xj[p, [0, 0, 1, 1][side]] = [0.0, 1.0, 0.0, max_y][side]
+                xj[:, 0] = np.clip(xj[:, 0], 0.0, 1.0)
+                xj[:, 1] = np.clip(xj[:, 1], 0.0, max_y)
+                if domain_factor > 1:
+                    xj[:n_off, :2] = xj[:n_off, :2] * domain_factor - offset_j
+
             if len(x["grain"]) > num_regions:
                 add_angles = np.arccos(x["grain"][num_regions:, 5])
                 theta_z = np.concatenate([theta_z, add_angles])

@@ -1,1 +1,1 @@
-from . import volume  # noqa: F401
+from . import plots, volume  # noqa: F401

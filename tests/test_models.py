@@ -121,3 +121,14 @@ def test_regressor_edge_len_head():
     y = grain_nn.apply_regressor(params, hp, s)
     assert y["edge"].shape == (s.num_jj_edges,)
     assert np.all(np.abs(np.asarray(y["edge"])) <= 1.0)
+
+
+def test_two_layer_stack_uses_sage_cells():
+    hp = hyper.regressor(0, layer_size=8, layers=2)
+    assert hp.cell_kinds == ("pgclstm", "sage")
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    assert len(params["encoder"]) == 2
+    s = synthetic_sample(ng=16, nj=32)
+    y = grain_nn.apply_regressor(params, hp, s)
+    assert y["joint"].shape == (32, 2)
+    assert np.isfinite(np.asarray(y["joint"])).all()
