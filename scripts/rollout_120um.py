@@ -18,7 +18,7 @@ import jax
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--platform", default="cpu", choices=["tpu", "cpu"])
-parser.add_argument("--model_dir", default="/root/repo/data_cache/model")
+parser.add_argument("--model_dir", default="/root/repo/artifacts/40um")
 parser.add_argument("--growth_height", type=float, default=-1.0)
 parser.add_argument("--verbose", action="store_true")
 args = parser.parse_args()

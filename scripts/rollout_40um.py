@@ -20,10 +20,11 @@ import jax
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--platform", default="cpu", choices=["tpu", "cpu"])
-parser.add_argument("--model_dir", default="/root/repo/data_cache/model")
+parser.add_argument("--model_dir", default="/root/repo/artifacts/40um")
+parser.add_argument("--cls_dir", default="", help="separate classifier dir")
 parser.add_argument("--seed", type=int, default=10020)
 parser.add_argument("--growth_height", type=float, default=-1.0)
-parser.add_argument("--c_threshold", type=float, default=0.6)
+parser.add_argument("--c_threshold", type=float, default=0.99)
 parser.add_argument("--verbose", action="store_true")
 args = parser.parse_args()
 
@@ -40,7 +41,9 @@ traj.extract("/root/reference/rawdat_PF/40_40", cache_dir="/root/repo/data_cache
 hg0 = extraction.make_test_sample(traj, span=6)
 
 params_r, hp_r, _ = checkpoint.load(os.path.join(args.model_dir, "regressor0"))
-params_c, hp_c, extra = checkpoint.load(os.path.join(args.model_dir, "classifier1"))
+params_c, hp_c, extra = checkpoint.load(
+    os.path.join(args.cls_dir or args.model_dir, "classifier1")
+)
 c_thr = args.c_threshold
 
 engine = RolloutEngine(
