@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--span", type=int, default=0)
     p.add_argument("--growth_height", type=float, default=-1)
     p.add_argument("--nucleation_density", type=float, default=0.0)
+    p.add_argument("--c_threshold", type=float, default=0.0,
+                   help="override the checkpoint's edge-event threshold")
     p.add_argument("--no-compare", dest="compare", action="store_false")
     p.set_defaults(compare=True)
     p.add_argument("--verbose", action="store_true")
@@ -53,8 +55,8 @@ def main(argv=None):
     )
     engine = RolloutEngine(
         params_r, hp_r, params_c, hp_c,
-        c_threshold=extra.get("threshold", 0.6), seed=args.seed,
-        verbose=args.verbose,
+        c_threshold=args.c_threshold or extra.get("threshold", 0.6),
+        seed=args.seed, verbose=args.verbose,
     )
     res = engine.run(
         hg0, traj, span=args.span or 6, compare=args.compare,
