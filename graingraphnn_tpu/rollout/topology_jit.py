@@ -1,0 +1,470 @@
+"""jit-compatible dynamic-topology editor (device-side).
+
+The reference's classifier update is sequential, order-dependent Python
+index surgery (models.py:614-1053). This module expresses the same
+semantics as fixed-shape jax code so the whole rollout step can stay on
+device:
+
+  * events are processed by `lax.scan` over bounded budgets
+    (MAX_SWITCH / MAX_ELIM) in the reference's priority order;
+  * neighbor queries become `jnp.nonzero(..., size=k)` with the exact
+    degree bounds (3 jj / 3 jg per junction, ring <= RING_MAX per grain);
+  * edge deletion marks -1 sentinels; the reconnection edge is APPENDED at
+    a carried cursor into preallocated slack columns, preserving the
+    reference's index semantics for pending events;
+  * nucleation (array growth) stays host-side.
+
+Semantics are oracle-tested against rollout/topology.TopologyEditor on the
+real seed10020 graph (tests/test_topology_jit.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+JOINT_SCALE = 5.0
+RING_MAX = 16
+
+
+class TopoState(NamedTuple):
+    E_pp: jnp.ndarray    # [2, EP] int32, -1 sentinels; slack columns at tail
+    E_pq: jnp.ndarray    # [2, EQ] int32
+    xj: jnp.ndarray      # [NJ, F] joint features (cols 0:2 pos, 6:8 grads)
+    y_joint: jnp.ndarray  # [NJ, 2] predicted joint displacement
+    mask_g: jnp.ndarray  # [NG]
+    mask_j: jnp.ndarray  # [NJ]
+    append_ptr: jnp.ndarray  # scalar int32: next free E_pp column
+
+
+def _wrap(p, pc):
+    rel = p - pc
+    return p - 1.0 * (rel > 0.5) + 1.0 * (rel < -0.5)
+
+
+def _nonzero(cond, size, fill):
+    idx, = jnp.nonzero(cond, size=size, fill_value=fill)
+    return idx
+
+
+def _point_in_triangle(t, v1, v2, v3):
+    def move(v):
+        return _wrap(v, t)
+
+    def sign(a, b, c):
+        return (a[0] - c[0]) * (b[1] - c[1]) - (b[0] - c[0]) * (a[1] - c[1])
+
+    v1m, v2m, v3m = move(v1), move(v2), move(v3)
+    d1 = sign(t, v1m, v2m)
+    d2 = sign(t, v2m, v3m)
+    d3 = sign(t, v3m, v1m)
+    has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    return ~(has_neg & has_pos)
+
+
+def _switch_one(state: TopoState, e, events, pos, n_events, elim_grain):
+    """One neighbor-switching event (models.switching_edge_index per-index
+    body, :910-1045). Returns (state, force_elim_pair [2] with -1 fills)."""
+    E_pp, E_pq, xj = state.E_pp, state.E_pq, state.xj
+    EP = E_pp.shape[1]
+    EQ = E_pq.shape[1]
+    p1 = E_pp[0, e]
+    p2 = E_pp[1, e]
+    valid = (e >= 0) & (p1 >= 0) & (p2 >= 0)
+    # guard values so gathers stay in range when invalid
+    p1s = jnp.where(valid, p1, 0)
+    p2s = jnp.where(valid, p2, 0)
+
+    p1_qn_idx = _nonzero(E_pq[0] == p1s, 3, EQ - 1)
+    p2_qn_idx = _nonzero(E_pq[0] == p2s, 3, EQ - 1)
+    p1_qn = E_pq[1][p1_qn_idx]
+    p2_qn = E_pq[1][p2_qn_idx]
+
+    pn1_cond = (E_pp[0] == p1s) & (E_pp[1] != p2s)
+    pn2_cond = (E_pp[0] == p2s) & (E_pp[1] != p1s)
+    p1_pn_idx = _nonzero(pn1_cond, 2, EP - 1)
+    p2_pn_idx = _nonzero(pn2_cond, 2, EP - 1)
+
+    in_p2 = (p1_qn[:, None] == p2_qn[None, :]).any(axis=1)  # [3]
+    in_p1 = (p2_qn[:, None] == p1_qn[None, :]).any(axis=1)
+    ok_shape = (in_p2.sum() == 2) & ((~in_p2).sum() == 1) & ((~in_p1).sum() == 1)
+    valid = valid & ok_shape
+
+    # shrink pair in p1_qn order (reference keeps p1_qn's order)
+    shared_idx = _nonzero(in_p2, 2, 0)
+    shrink_q1 = p1_qn[shared_idx[0]]
+    shrink_q2 = p1_qn[shared_idx[1]]
+    expand_q1 = p1_qn[_nonzero(~in_p2, 1, 0)[0]]
+    expand_q2 = p2_qn[_nonzero(~in_p1, 1, 0)[0]]
+
+    # qn index sort: [idx of shrink_q1, idx of shrink_q2] per endpoint
+    def qn_sort(qn, qn_idx):
+        i1 = qn_idx[_nonzero(qn == shrink_q1, 1, 0)[0]]
+        i2 = qn_idx[_nonzero(qn == shrink_q2, 1, 0)[0]]
+        return jnp.stack([i1, i2])
+
+    p1_qn_sort = qn_sort(p1_qn, p1_qn_idx)
+    p2_qn_sort = qn_sort(p2_qn, p2_qn_idx)
+
+    # joint-neighbor ordering: index 0 borders shrink_q1
+    def pn_order(pn_idx):
+        first = E_pp[1][pn_idx[0]]
+        borders = ((E_pq[0] == first) & (E_pq[1] == shrink_q1)).any()
+        return jnp.where(borders, pn_idx, pn_idx[::-1])
+
+    p1_pn_idx = pn_order(p1_pn_idx)
+    p2_pn_idx = pn_order(p2_pn_idx)
+    sq1_p1 = E_pp[1][p1_pn_idx[0]]
+    sq2_p1 = E_pp[1][p1_pn_idx[1]]
+    sq1_p2 = E_pp[1][p2_pn_idx[0]]
+    sq2_p2 = E_pp[1][p2_pn_idx[1]]
+
+    has_elim = elim_grain >= 0
+    degenerate = (sq1_p1 == sq1_p2) | (sq2_p1 == sq2_p2)
+    valid = valid & (has_elim | ~degenerate)
+
+    force1 = jnp.where(
+        valid & (sq1_p1 == sq1_p2) & (shrink_q1 != elim_grain), shrink_q1, -1
+    )
+    force2 = jnp.where(
+        valid & (sq2_p1 == sq2_p2) & (shrink_q2 != elim_grain), shrink_q2, -1
+    )
+
+    # periodic midpoint reposition (:985-992)
+    x_p1 = xj[p1s, :2]
+    x_p2 = xj[p2s, :2]
+    x_p2_m = _wrap(x_p2, x_p1)
+    c = 0.5 * (x_p1 + x_p2_m)
+    new_x_p1 = c
+    new_x_p2 = _wrap(c, x_p2)
+    xj = jnp.where(valid, xj.at[p1s, :2].set(new_x_p1), xj)
+    xj = jnp.where(valid, xj.at[p2s, :2].set(new_x_p2), xj)
+
+    # The reference's orientation test (models.py:1000-1002) calls
+    # point_in_triangle(x[p2], x[p1], ...) AFTER both points were set to the
+    # same periodic midpoint — the "triangle" always has the query point
+    # coinciding with vertex 1, making two of the three sign terms exactly
+    # zero in non-FMA arithmetic, so the test degenerates to constant True.
+    # (XLA's FMA contraction perturbs those exact zeros, which is how this
+    # was discovered — see tests/test_topology_jit.py.) The effective
+    # semantics are: swap unless the lookahead overrides.
+    swap = jnp.asarray(True)
+
+    # lookahead over remaining events (:1005-1013)
+    remaining = (jnp.arange(events.shape[0]) >= pos) & (
+        jnp.arange(events.shape[0]) < n_events
+    ) & (events >= 0)
+    ev_safe = jnp.where(events >= 0, events, 0)
+    nxt_a = jnp.where(remaining, E_pp[0, ev_safe], -2)
+    nxt_b = jnp.where(remaining, E_pp[1, ev_safe], -2)
+
+    def in_nxt(v):
+        return ((nxt_a == v) | (nxt_b == v)).any()
+
+    swap = jnp.where(in_nxt(sq1_p2) & ~in_nxt(sq2_p2), False, swap)
+    swap = jnp.where(in_nxt(sq2_p2) & ~in_nxt(sq1_p2), True, swap)
+    swap = jnp.where(in_nxt(sq1_p1) & ~in_nxt(sq2_p1), True, swap)
+    swap = jnp.where(in_nxt(sq2_p1) & ~in_nxt(sq1_p1), False, swap)
+
+    p1_qn_sort = jnp.where(swap, p1_qn_sort[::-1], p1_qn_sort)
+    p2_qn_sort = jnp.where(swap, p2_qn_sort[::-1], p2_qn_sort)
+    p1_pn_idx = jnp.where(swap, p1_pn_idx[::-1], p1_pn_idx)
+    p2_pn_idx = jnp.where(swap, p2_pn_idx[::-1], p2_pn_idx)
+    sq1_p2_f = jnp.where(swap, sq2_p2, sq1_p2)
+    sq2_p1_f = jnp.where(swap, sq1_p1, sq2_p1)
+
+    # rewires (:1030-1044)
+    E_pq = jnp.where(valid, E_pq.at[1, p1_qn_sort[1]].set(expand_q2), E_pq)
+    E_pq = jnp.where(valid, E_pq.at[1, p2_qn_sort[0]].set(expand_q1), E_pq)
+    E_pp = jnp.where(valid, E_pp.at[0, p1_pn_idx[1]].set(p2s), E_pp)
+    E_pp = jnp.where(valid, E_pp.at[0, p2_pn_idx[0]].set(p1s), E_pp)
+    m1 = (E_pp[0] == sq1_p2_f) & (E_pp[1] == p2s)
+    E_pp = jnp.where(valid & m1[None, :] & (jnp.arange(2)[:, None] == 1),
+                     jnp.full_like(E_pp, 1) * p1s, E_pp)
+    m2 = (E_pp[0] == sq2_p1_f) & (E_pp[1] == p1s)
+    E_pp = jnp.where(valid & m2[None, :] & (jnp.arange(2)[:, None] == 1),
+                     jnp.full_like(E_pp, 1) * p2s, E_pp)
+
+    return state._replace(E_pp=E_pp, E_pq=E_pq, xj=xj), jnp.stack([force1, force2])
+
+
+def switch_events(state: TopoState, events: jnp.ndarray, n_events, elim_grain):
+    """models.switching_edge_index (:901-1053): rollback the predicted
+    displacement for every touched vertex, process events in order, rewrite
+    displacements/grads. events: [MAX] edge indices (-1 padded)."""
+    EP = state.E_pp.shape[1]
+    ev_safe = jnp.where(events >= 0, events, 0)
+    ev_valid = (events >= 0) & (jnp.arange(events.shape[0]) < n_events)
+    va = jnp.where(ev_valid, state.E_pp[0, ev_safe], -1)
+    vb = jnp.where(ev_valid, state.E_pp[1, ev_safe], -1)
+    NJ = state.xj.shape[0]
+    touched = jnp.zeros(NJ, bool)
+    touched = touched.at[jnp.where(va >= 0, va, NJ)].set(True, mode="drop")
+    touched = touched.at[jnp.where(vb >= 0, vb, NJ)].set(True, mode="drop")
+
+    xj = state.xj
+    save_prev = xj[:, :2] - jnp.where(
+        touched[:, None], state.y_joint / JOINT_SCALE, 0.0
+    )
+    xj = xj.at[:, :2].set(save_prev)
+    state = state._replace(xj=xj)
+
+    def body(carry, i):
+        st = carry
+        e = jnp.where(i < n_events, events[i], -1)
+        st, force = _switch_one(st, e, events, i, n_events, elim_grain)
+        return st, force
+
+    state, forces = jax.lax.scan(
+        body, state, jnp.arange(events.shape[0])
+    )
+
+    # displacement/grad rewrite (:1048-1050)
+    new_y = jnp.where(
+        touched[:, None],
+        JOINT_SCALE * (state.xj[:, :2] - save_prev),
+        state.y_joint,
+    )
+    xj = state.xj
+    xj = xj.at[:, 6:8].set(jnp.where(touched[:, None], new_y, xj[:, 6:8]))
+    return state._replace(xj=xj, y_joint=new_y), forces.reshape(-1)
+
+
+def delete_grain(state: TopoState, grain):
+    """models.delete_grain_index (:866-898) with appended reconnection."""
+    E_pp, E_pq = state.E_pp, state.E_pq
+    EP, EQ = E_pp.shape[1], E_pq.shape[1]
+    g = jnp.where(grain >= 0, grain, 0)
+    ring = _nonzero(E_pq[1] == g, 3, EQ - 1)
+    n_ring = (E_pq[1] == g).sum()
+    valid = (grain >= 0) & (n_ring == 2)
+    p1 = E_pq[0][ring[0]]
+    p2 = E_pq[0][ring[1]]
+    p1 = jnp.where(valid, p1, 0)
+    p2 = jnp.where(valid, p2, 0)
+
+    n1_idx = _nonzero((E_pp[0] == p1) & (E_pp[1] != p2), 1, EP - 1)[0]
+    n2_idx = _nonzero((E_pp[0] == p2) & (E_pp[1] != p1), 1, EP - 1)[0]
+    has_n = ((E_pp[0] == p1) & (E_pp[1] != p2)).any() & (
+        (E_pp[0] == p2) & (E_pp[1] != p1)
+    ).any()
+    valid = valid & has_n
+    np1 = E_pp[1][n1_idx]
+    np2 = E_pp[1][n2_idx]
+
+    ptr = state.append_ptr
+    E_pp = jnp.where(
+        valid,
+        E_pp.at[:, ptr].set(jnp.stack([np1, np2])).at[:, ptr + 1].set(
+            jnp.stack([np2, np1])
+        ),
+        E_pp,
+    )
+    ptr = jnp.where(valid, ptr + 2, ptr)
+
+    mask_g = jnp.where(valid, state.mask_g.at[g].set(0), state.mask_g)
+    mask_j = jnp.where(
+        valid, state.mask_j.at[p1].set(0).at[p2].set(0), state.mask_j
+    )
+
+    kill_q = (E_pq[1] == g) | (E_pq[0] == p1) | (E_pq[0] == p2)
+    E_pq = jnp.where(valid & kill_q[None, :], -1, E_pq)
+    kill_p = (E_pp[0] == p1) | (E_pp[1] == p1) | (E_pp[0] == p2) | (E_pp[1] == p2)
+    E_pp = jnp.where(valid & kill_p[None, :], -1, E_pp)
+
+    return state._replace(
+        E_pp=E_pp, E_pq=E_pq, mask_g=mask_g, mask_j=mask_j, append_ptr=ptr
+    ), valid
+
+
+# ---------------------------------------------------------------------------
+# full update orchestration (models.GrainNN_classifier.update, :614-845)
+# ---------------------------------------------------------------------------
+
+MAX_SWITCH = 24    # neighbor-switching budget per step
+MAX_ELIM = 8       # grain-elimination budget per step
+MAX_TWOSIDED = 8
+MAX_EXTRA = 2 * MAX_ELIM * (RING_MAX + 1)
+_PAIRS = [(i, j) for i in range(RING_MAX) for j in range(i + 1, RING_MAX)]
+
+
+def _ring_collapse(state: TopoState, g, y_grain):
+    """Per-grain elimination: find the junction ring, pick the |ring|-2
+    lowest-darea ring edges, switch them with elim_grain=g
+    (models.py:638-690). Returns (state, ok, L2_events, n_l2, forces)."""
+    E_pp, E_pq = state.E_pp, state.E_pq
+    EP, EQ = E_pp.shape[1], E_pq.shape[1]
+    gs = jnp.where(g >= 0, g, 0)
+    ring_idx = _nonzero(E_pq[1] == gs, RING_MAX, EQ - 1)
+    ring_n = (E_pq[1] == gs).sum()
+    ok = (g >= 0) & (ring_n > 0) & (ring_n <= RING_MAX)
+    Np = E_pq[0][ring_idx]  # [RING_MAX], garbage beyond ring_n
+
+    ia = jnp.array([p[0] for p in _PAIRS])
+    ib = jnp.array([p[1] for p in _PAIRS])
+
+    def pair_info(a, b):
+        pa, pb = Np[a], Np[b]
+        p1 = jnp.minimum(pa, pb)
+        p2 = jnp.maximum(pa, pb)
+        in_ring = (a < ring_n) & (b < ring_n)
+        e_idx = _nonzero((E_pp[0] == p1) & (E_pp[1] == p2), 1, EP - 1)[0]
+        exists = in_ring & ((E_pp[0] == p1) & (E_pp[1] == p2)).any()
+        nq1 = E_pq[1][_nonzero((E_pq[0] == p1) & (E_pq[1] != gs), 2, EQ - 1)]
+        nq2 = E_pq[1][_nonzero((E_pq[0] == p2) & (E_pq[1] != gs), 2, EQ - 1)]
+        first_in = (nq1[0] == nq2[0]) | (nq1[0] == nq2[1])
+        second_in = (nq1[1] == nq2[0]) | (nq1[1] == nq2[1])
+        nq = jnp.where(first_in, nq1[0], nq1[1])
+        resolvable = first_in | second_in
+        return e_idx, exists, nq, resolvable
+
+    e_idx, exists, nq, resolvable = jax.vmap(pair_info)(ia, ib)
+    ok = ok & jnp.where(exists, resolvable, True).all()
+
+    # compress existing pairs, preserving combination order
+    sel = _nonzero(exists, RING_MAX, len(_PAIRS) - 1)
+    L2 = e_idx[sel]
+    Nq = nq[sel]
+    n_l2 = exists.sum()
+    ok = ok & (n_l2 == ring_n)
+    # all shared grain neighbors distinct (models.py:683-684)
+    lane = jnp.arange(RING_MAX)
+    valid_lane = lane < n_l2
+    dup = (
+        (Nq[:, None] == Nq[None, :])
+        & valid_lane[:, None] & valid_lane[None, :]
+        & (lane[:, None] != lane[None, :])
+    ).any()
+    ok = ok & ~dup
+
+    # ascending predicted darea; drop the final two (models.py:686-688)
+    keys = jnp.where(valid_lane, y_grain[Nq, 0], jnp.inf)
+    order = jnp.argsort(keys)
+    L2_sorted = L2[order]
+    n_events = jnp.maximum(n_l2 - 2, 0)
+    events = jnp.where(jnp.arange(RING_MAX) < n_events, L2_sorted, -1)
+
+    def do(state):
+        st, forces = switch_events(state, events, n_events, gs)
+        return st, forces
+
+    def skip(state):
+        return state, jnp.full((2 * RING_MAX,), -1, jnp.int32)
+
+    state, forces = jax.lax.cond(ok, do, skip, state)
+    return state, ok, events, n_events, forces
+
+
+def _two_sided_cleanup(state: TopoState, num_grains):
+    """Single pass over grains left with <= 2 live ring edges
+    (models.py:712-722,745-757)."""
+    E_pq = state.E_pq
+    live = E_pq[1] >= 0
+    counts = jnp.zeros(num_grains, jnp.int32).at[
+        jnp.where(live, E_pq[1], num_grains)
+    ].add(1, mode="drop")
+    bad = (counts > 0) & (counts <= 2)
+    targets = _nonzero(bad, MAX_TWOSIDED, -1)
+    targets = jnp.where(targets >= 0, targets, -1)
+
+    def body(st, g):
+        st, ok = delete_grain(st, g)
+        return st, jnp.where(ok, g, -1)
+
+    state, dropped = jax.lax.scan(body, state, targets)
+    return state, dropped
+
+
+@partial(jax.jit, static_argnames=("num_grains",))
+def update_jit(
+    state: TopoState,
+    edge_logits: jnp.ndarray,    # [EP] (slack columns padded with -inf)
+    grain_events: jnp.ndarray,   # [MAX_ELIM] grain ids sorted by area asc, -1 pad
+    y_grain: jnp.ndarray,        # [NG, 2] regressor grain outputs
+    threshold: float,
+    num_grains: int,
+):
+    """Full device-side topology update (no nucleation). Returns
+    (state, switching_edges [MAX_SWITCH, 2], extra_events [MAX_EXTRA])."""
+    E_pp = state.E_pp
+    EP = E_pp.shape[1]
+    prob = jax.nn.sigmoid(edge_logits)
+    cand = (prob > threshold) & (E_pp[0] < E_pp[1]) & (E_pp[0] >= 0)
+    # host builds L1 in ascending edge order, then sorts desc by prob
+    # (stable) — argsort(-prob) with invalid at the bottom matches
+    keys = jnp.where(cand, -prob, jnp.inf)
+    order = jnp.argsort(keys, stable=True)
+    L1 = jnp.where(jnp.arange(EP) < cand.sum(), order, -1)[:MAX_SWITCH]
+    n_l1 = jnp.minimum(cand.sum(), MAX_SWITCH)
+
+    extra = jnp.full((MAX_EXTRA,), -1, jnp.int32)
+    n_extra = jnp.asarray(0, jnp.int32)
+
+    def put_extra(extra, n, vals):
+        def body(carry, v):
+            extra, n = carry
+            ok = v >= 0
+            extra = jnp.where(ok, extra.at[n].set(v), extra)
+            n = jnp.where(ok, n + 1, n)
+            return (extra, n), None
+
+        (extra, n), _ = jax.lax.scan(body, (extra, n), vals)
+        return extra, n
+
+    # ---------------- grain eliminations ------------------------------
+    def elim_body(carry, g):
+        state, L1, extra, n_extra = carry
+        state, ok, L2, n_l2, forces = _ring_collapse(state, g, y_grain)
+        extra, n_extra = put_extra(extra, n_extra, forces)
+
+        def delete_all(state):
+            state, _ = delete_grain(state, g)
+
+            def fbody(st, fg):
+                st, _ = delete_grain(st, fg)
+                return st, None
+
+            state, _ = jax.lax.scan(fbody, state, forces)
+            return state
+
+        state = jax.lax.cond(ok, delete_all, lambda s: s, state)
+        # drop collapsed edges from the pending switch list (models.py:706-709)
+        hit = (L1[:, None] == L2[None, :]) & (L2[None, :] >= 0) & ok
+        L1 = jnp.where(hit.any(axis=1), -1, L1)
+        state, dropped = jax.lax.cond(
+            ok,
+            lambda s: _two_sided_cleanup(s, num_grains),
+            lambda s: (s, jnp.full((MAX_TWOSIDED,), -1, jnp.int32)),
+            state,
+        )
+        return (state, L1, extra, n_extra), None
+
+    (state, L1, extra, n_extra), _ = jax.lax.scan(
+        elim_body, (state, L1, extra, n_extra), grain_events
+    )
+
+    # ---------------- neighbor switching ------------------------------
+    L1_live = jnp.where(
+        (L1 >= 0) & (state.E_pp[0, jnp.where(L1 >= 0, L1, 0)] >= 0), L1, -1
+    )
+    # compact, preserving order
+    sel = _nonzero(L1_live >= 0, MAX_SWITCH, MAX_SWITCH - 1)
+    L1c = jnp.where(jnp.arange(MAX_SWITCH) < (L1_live >= 0).sum(), L1_live[sel], -1)
+    n_sw = (L1_live >= 0).sum()
+    state, forces = switch_events(state, L1c, n_sw, jnp.asarray(-1))
+    extra, n_extra = put_extra(extra, n_extra, forces)
+    sw_safe = jnp.where(L1c >= 0, L1c, 0)
+    switching = jnp.where(
+        (L1c >= 0)[:, None],
+        state.E_pp[:, sw_safe].T,
+        -1,
+    )
+
+    state, dropped = _two_sided_cleanup(state, num_grains)
+    extra, n_extra = put_extra(extra, n_extra, dropped)
+    return state, switching, extra

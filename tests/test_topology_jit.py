@@ -1,0 +1,263 @@
+"""Oracle tests: the jit topology editor must reproduce the host editor
+(rollout.topology) exactly on the real seed10020 graph."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graingraphnn_tpu.rollout import topology_jit as tj
+from graingraphnn_tpu.rollout.topology import TopologyEditor
+from tests.test_topology import load_graph, neutral_pred
+
+SLACK = 64
+
+
+def make_state(x, edges, mask):
+    EP = edges["connect"].shape[1]
+    E_pp = np.full((2, EP + SLACK), -1, np.int32)
+    E_pp[:, :EP] = edges["connect"]
+    return tj.TopoState(
+        E_pp=jnp.asarray(E_pp),
+        E_pq=jnp.asarray(edges["pull"].astype(np.int32)),
+        xj=jnp.asarray(x["joint"].astype(np.float32)),
+        y_joint=jnp.zeros((len(x["joint"]), 2), jnp.float32),
+        mask_g=jnp.asarray(mask["grain"][:, 0].astype(np.int32)),
+        mask_j=jnp.asarray(mask["joint"][:, 0].astype(np.int32)),
+        append_ptr=jnp.asarray(EP, jnp.int32),
+    )
+
+
+def edge_sets(E_pp):
+    E = np.asarray(E_pp)
+    live = E[0] >= 0
+    return set(map(tuple, E[:, live].T.tolist()))
+
+
+def test_switching_matches_host():
+    x, edges, mask = load_graph()
+    jj = edges["connect"]
+    cands = np.nonzero(jj[0] < jj[1])[0][:4]
+
+    # host
+    xh = {k: v.copy() for k, v in x.items()}
+    mh = {k: v.copy() for k, v in mask.items()}
+    eh = {k: v.copy() for k, v in edges.items()}
+    y = neutral_pred(xh, eh)
+    y["edge_event"][cands] = 50.0
+    ed = TopologyEditor(threshold=0.6)
+    xh, eh2, switching, extra = ed.update(xh, eh, y, mh)
+    assert len(switching) == len(cands)
+
+    # jit
+    state = make_state(x, edges, mask)
+    events = np.full(8, -1, np.int32)
+    events[: len(cands)] = cands  # host order: descending prob — all equal,
+    # numpy argsort is stable so ascending index, same as given
+    run = jax.jit(partial_switch)
+    state2, forces = run(state, jnp.asarray(events), len(cands))
+
+    assert edge_sets(state2.E_pp) == edge_sets(eh2["connect"])
+    # jg edges: compare as sets of (joint, grain)
+    Eq_h = eh2["pull"]
+    Eq_j = np.asarray(state2.E_pq)
+    live = Eq_j[0] >= 0
+    assert set(map(tuple, Eq_j[:, live].T.tolist())) == set(
+        map(tuple, Eq_h.T.tolist())
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.xj[:, :2]), xh["joint"][:, :2], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.y_joint), y["joint"], atol=1e-4
+    )
+
+
+def partial_switch(state, events, n):
+    return tj.switch_events(state, events, n, jnp.asarray(-1))
+
+
+def test_delete_grain_matches_host():
+    x, edges, mask = load_graph()
+    jg = edges["pull"]
+    grains, counts = np.unique(jg[1], return_counts=True)
+    g = int(grains[np.argmin(counts)])  # smallest ring
+
+    # host: eliminate via the full host editor (neutral preds + grain event)
+    xh = {k: v.copy() for k, v in x.items()}
+    mh = {k: v.copy() for k, v in mask.items()}
+    eh = {k: v.copy() for k, v in edges.items()}
+    y = neutral_pred(xh, eh)
+    y["grain_event"] = np.array([g])
+    ed = TopologyEditor(threshold=0.6)
+    xh, eh2, _, extra = ed.update(xh, eh, y, mh)
+
+    # jit: replicate the elimination sub-steps (ring collapse then delete)
+    state = make_state(x, edges, mask)
+    ring = np.nonzero(jg[1] == g)[0]
+    Np = jg[0][ring]
+    L2, Nq = [], []
+    for i in range(len(Np)):
+        for j in range(i + 1, len(Np)):
+            p1, p2 = int(Np[i]), int(Np[j])
+            if p1 > p2:
+                p1, p2 = p2, p1
+            idx = np.nonzero((edges["connect"][0] == p1) & (edges["connect"][1] == p2))[0]
+            if len(idx):
+                L2.append(int(idx[0]))
+                nq1 = jg[1][(jg[0] == p1) & (jg[1] != g)]
+                nq2 = jg[1][(jg[0] == p2) & (jg[1] != g)]
+                Nq.append(int(nq1[0]) if nq1[0] in nq2 else int(nq1[1]))
+    order = np.argsort(np.asarray(y["grain"])[Nq, 0])
+    L2 = [L2[i] for i in order[:-2]]
+
+    events = np.full(8, -1, np.int32)
+    events[: len(L2)] = L2
+    state, forces = jax.jit(
+        lambda s, e, n, g_: tj.switch_events(s, e, n, g_)
+    )(state, jnp.asarray(events), len(L2), jnp.asarray(g))
+    state, ok = jax.jit(tj.delete_grain)(state, jnp.asarray(g))
+    assert bool(ok)
+
+    assert int(state.mask_g[g]) == 0
+    assert edge_sets(state.E_pp) == edge_sets(eh2["connect"])
+    Eq_j = np.asarray(state.E_pq)
+    live = Eq_j[0] >= 0
+    assert set(map(tuple, Eq_j[:, live].T.tolist())) == set(
+        map(tuple, eh2["pull"].T.tolist())
+    )
+    assert int(np.asarray(state.mask_j).sum()) == int(mh["joint"].sum())
+
+
+def test_full_update_matches_host():
+    """Combined scenario: one grain elimination + several neighbor switches,
+    full orchestration vs the host editor."""
+    x, edges, mask = load_graph()
+    jj = edges["connect"]
+    jg = edges["pull"]
+    grains, counts = np.unique(jg[1], return_counts=True)
+    g = int(grains[np.argmin(counts)])
+
+    rng = np.random.default_rng(3)
+    logits = np.full(jj.shape[1], -50.0)
+    # a few confident switching candidates away from the eliminated grain
+    ring_joints = set(jg[0][jg[1] == g].tolist())
+    cand = [
+        e for e in range(jj.shape[1])
+        if jj[0, e] < jj[1, e]
+        and jj[0, e] not in ring_joints and jj[1, e] not in ring_joints
+    ]
+    picks = rng.choice(len(cand), size=5, replace=False)
+    for i, p in enumerate(picks):
+        logits[cand[p]] = 10.0 + i  # distinct probabilities -> fixed order
+
+    y_grain = np.stack(
+        [rng.uniform(-0.5, 0.5, len(x["grain"])), np.zeros(len(x["grain"]))],
+        axis=1,
+    )
+
+    # ---- host ----
+    xh = {k: v.copy() for k, v in x.items()}
+    mh = {k: v.copy() for k, v in mask.items()}
+    eh = {k: v.copy() for k, v in edges.items()}
+    y = neutral_pred(xh, eh)
+    y["edge_event"] = logits.copy()
+    y["grain"] = y_grain.copy()
+    y["grain_event"] = np.array([g])
+    ed = TopologyEditor(threshold=0.6)
+    xh, eh2, switching_h, extra_h = ed.update(xh, eh, y, mh)
+
+    # ---- jit ----
+    state = make_state(x, edges, mask)
+    EP = state.E_pp.shape[1]
+    logits_pad = np.full(EP, -1e30)
+    logits_pad[: jj.shape[1]] = logits
+    ge = np.full(tj.MAX_ELIM, -1, np.int32)
+    ge[0] = g
+    state2, switching_j, extra_j = tj.update_jit(
+        state,
+        jnp.asarray(logits_pad, jnp.float32),
+        jnp.asarray(ge),
+        jnp.asarray(y_grain, jnp.float32),
+        0.6,
+        len(x["grain"]),
+    )
+
+    assert edge_sets(state2.E_pp) == edge_sets(eh2["connect"])
+    Eq_j = np.asarray(state2.E_pq)
+    live = Eq_j[0] >= 0
+    assert set(map(tuple, Eq_j[:, live].T.tolist())) == set(
+        map(tuple, eh2["pull"].T.tolist())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state2.mask_g), mh["grain"][:, 0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state2.mask_j), mh["joint"][:, 0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.xj[:, :2]), xh["joint"][:, :2], atol=1e-5
+    )
+    # switching lists agree as sets of vertex pairs
+    sw_j = {tuple(r) for r in np.asarray(switching_j).tolist() if r[0] >= 0}
+    sw_h = {tuple(r) for r in switching_h.tolist()}
+    assert sw_j == sw_h
+    # recorded extra events agree
+    ex_j = sorted(int(v) for v in np.asarray(extra_j) if v >= 0)
+    ex_h = sorted(int(v) for v in extra_h)
+    assert ex_j == ex_h
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 7])
+def test_fuzz_update_matches_host(seed):
+    """Randomized scenarios: random switching candidates + up to two grain
+    eliminations, jit vs host."""
+    x, edges, mask = load_graph()
+    jj = edges["connect"]
+    jg = edges["pull"]
+    rng = np.random.default_rng(seed)
+
+    logits = np.full(jj.shape[1], -50.0)
+    cand = np.nonzero(jj[0] < jj[1])[0]
+    picks = rng.choice(len(cand), size=6, replace=False)
+    logits[cand[picks]] = rng.uniform(5.0, 15.0, size=6)
+
+    grains, counts = np.unique(jg[1], return_counts=True)
+    small = grains[np.argsort(counts)][:4]
+    ge_list = rng.choice(small, size=2, replace=False).astype(np.int64)
+    y_grain = np.stack(
+        [rng.uniform(-0.5, 0.5, len(x["grain"])), np.zeros(len(x["grain"]))],
+        axis=1,
+    )
+
+    xh = {k: v.copy() for k, v in x.items()}
+    mh = {k: v.copy() for k, v in mask.items()}
+    eh = {k: v.copy() for k, v in edges.items()}
+    y = neutral_pred(xh, eh)
+    y["edge_event"] = logits.copy()
+    y["grain"] = y_grain.copy()
+    y["grain_event"] = ge_list.copy()
+    ed = TopologyEditor(threshold=0.6)
+    xh, eh2, sw_h, ex_h = ed.update(xh, eh, y, mh)
+
+    state = make_state(x, edges, mask)
+    EP = state.E_pp.shape[1]
+    lp = np.full(EP, -1e30)
+    lp[: jj.shape[1]] = logits
+    ge = np.full(tj.MAX_ELIM, -1, np.int32)
+    ge[: len(ge_list)] = ge_list
+    state2, sw_j, ex_j = tj.update_jit(
+        state, jnp.asarray(lp, jnp.float32), jnp.asarray(ge),
+        jnp.asarray(y_grain, jnp.float32), 0.6, len(x["grain"]),
+    )
+
+    assert edge_sets(state2.E_pp) == edge_sets(eh2["connect"]), seed
+    Eq_j = np.asarray(state2.E_pq)
+    live = Eq_j[0] >= 0
+    assert set(map(tuple, Eq_j[:, live].T.tolist())) == set(
+        map(tuple, eh2["pull"].T.tolist())
+    )
+    np.testing.assert_array_equal(np.asarray(state2.mask_g), mh["grain"][:, 0])
+    np.testing.assert_array_equal(np.asarray(state2.mask_j), mh["joint"][:, 0])
+    ex_js = sorted(int(v) for v in np.asarray(ex_j) if v >= 0)
+    assert ex_js == sorted(int(v) for v in ex_h)
