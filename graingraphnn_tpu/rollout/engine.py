@@ -21,10 +21,12 @@ from functools import partial
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.heterograph import PUSH
 from ..graph import schema, state
+from ..graph import state as state_mod
 from ..graph.planar import PlanarGraph, periodic_dist_pt
 from ..models import grain_nn
 from .qoi import (
@@ -52,17 +54,72 @@ class RolloutEngine:
         c_threshold: float = 0.6,    # test.py:188
         seed: int = 0,
         verbose: bool = False,
+        jit_editor: bool = False,
     ):
         self.reg_params = reg_params
         self.hp_r = hp_r
         self.cls_params = cls_params
         self.hp_c = hp_c
         self.r_threshold = r_threshold
+        self.c_threshold = c_threshold
+        self.jit_editor = jit_editor
         self.editor = TopologyEditor(
             threshold=c_threshold, rng=np.random.default_rng(seed), verbose=verbose
         )
         self.verbose = verbose
         self._fwd_cache = {}
+
+    def _jit_update(self, x, edges, pred, mask):
+        """Device-side topology update (rollout.topology_jit), matching the
+        host editor's semantics — nucleation-free path."""
+        from . import topology_jit as tj
+
+        E_base = edges["connect"]
+        slack = 2 * (tj.MAX_ELIM * 3 + tj.MAX_TWOSIDED + 2)
+        # bucket the padded width so the jitted update recompiles only when
+        # the live edge count crosses a 64-column boundary
+        EP = state_mod.round_up(E_base.shape[1] + slack, 64)
+        E_pp = np.full((2, EP), -1, np.int64)
+        E_pp[:, : E_base.shape[1]] = E_base
+        state = tj.TopoState(
+            E_pp=jnp.asarray(E_pp, jnp.int32),
+            E_pq=jnp.asarray(edges["pull"], jnp.int32),
+            xj=jnp.asarray(x["joint"], jnp.float32),
+            y_joint=jnp.asarray(pred["joint"], jnp.float32),
+            mask_g=jnp.asarray(mask["grain"][:, 0], jnp.int32),
+            mask_j=jnp.asarray(mask["joint"][:, 0], jnp.int32),
+            append_ptr=jnp.asarray(E_base.shape[1], jnp.int32),
+        )
+        logits = np.full(EP, -1e30, np.float32)
+        logits[: E_base.shape[1]] = pred["edge_event"]
+        ge = np.full(tj.MAX_ELIM, -1, np.int32)
+        ev = np.asarray(pred["grain_event"])[: tj.MAX_ELIM]
+        ge[: len(ev)] = ev
+        state2, switching, extra = tj.update_jit(
+            state,
+            jnp.asarray(logits),
+            jnp.asarray(ge),
+            jnp.asarray(pred["grain"], jnp.float32),
+            self.c_threshold,
+            len(x["grain"]),
+        )
+        # back to host layout: compact deleted slots (test-time arrays are
+        # host-rebuilt each step anyway)
+        E_pp2 = np.asarray(state2.E_pp)
+        E_pq2 = np.asarray(state2.E_pq)
+        new_edges = {
+            "connect": E_pp2[:, E_pp2[0] >= 0].astype(np.int64),
+            "pull": E_pq2[:, E_pq2[0] >= 0].astype(np.int64),
+        }
+        new_edges["push"] = new_edges["pull"][::-1].copy()
+        x["joint"] = np.asarray(state2.xj, np.float64)
+        mask["grain"][:, 0] = np.asarray(state2.mask_g)
+        mask["joint"][:, 0] = np.asarray(state2.mask_j)
+        switching = np.asarray(switching)
+        switching = switching[switching[:, 0] >= 0]
+        extra = np.asarray(extra)
+        extra = extra[extra >= 0].astype(np.int64)
+        return x, new_edges, switching, extra
 
     def _log(self, *a):
         if self.verbose:
@@ -287,9 +344,14 @@ class RolloutEngine:
                 nucleation_density * traj.lxd * traj.lxd * TRAIN_DELTA_Z
                 / max(int(mask["joint"].sum()), 1)
             )
-            x, edges, switching_list, extra_events = self.editor.update(
-                x, edges, pred, mask, nucleation_prob=nucleation_prob
-            )
+            if self.jit_editor and nucleation_prob <= 1e-6:
+                x, edges, switching_list, extra_events = self._jit_update(
+                    x, edges, pred, mask
+                )
+            else:
+                x, edges, switching_list, extra_events = self.editor.update(
+                    x, edges, pred, mask, nucleation_prob=nucleation_prob
+                )
             pred["grain_event"] = np.concatenate([pred["grain_event"], extra_events])
 
             # no-flux boundary handling (test.py:446-466): reset the boundary

@@ -26,6 +26,7 @@ parser.add_argument("--seed", type=int, default=10020)
 parser.add_argument("--growth_height", type=float, default=-1.0)
 parser.add_argument("--c_threshold", type=float, default=0.99)
 parser.add_argument("--verbose", action="store_true")
+parser.add_argument("--jit_editor", action="store_true")
 args = parser.parse_args()
 
 if args.platform == "cpu":
@@ -49,6 +50,7 @@ c_thr = args.c_threshold
 engine = RolloutEngine(
     params_r, hp_r, params_c, hp_c,
     c_threshold=c_thr, seed=args.seed, verbose=args.verbose,
+    jit_editor=args.jit_editor,
 )
 res = engine.run(hg0, traj, span=6, compare=True, growth_height=args.growth_height)
 
