@@ -33,6 +33,8 @@ def main():
     p.add_argument("--prev", type=int, default=0)
     p.add_argument("--save_traj", type=bool, default=True)
     p.add_argument("--gr_grid", type=str, default="/root/reference/GR_train_grid.pkl")
+    p.add_argument("--user_config", action="store_true",
+                   help="generate mode: use the user-facing config (noflux)")
     args = p.parse_args()
 
     from ..data import extraction, reference_io, thermal
@@ -97,11 +99,21 @@ def main():
         ))
 
     elif args.mode == "generate":
+        user_cfg = None
+        if args.user_config:
+            # user-facing geometry/physics config (user_generate.py:9-40):
+            # no-flux boundary, line/cylinder melt pool, aspect ratios
+            from ..data.thermal import default_generate_config
+
+            user_cfg = default_generate_config()
+            user_cfg["initial_parameters"]["seed"] = args.seed
+            user_cfg["physical_parameters"] = {"G": args.G, "R": args.R}
         traj = extraction.TrajectoryExtractor(
             lxd=args.lxd, seed=args.seed, frames=args.frame,
             physical_params={"G": args.G, "R": args.R},
             adjust_grain_size=args.adjust_grain_size,
             adjust_grain_orien=args.adjust_grain_orien,
+            user_defined_config=user_cfg,
         )
         import numpy as np
 

@@ -139,12 +139,26 @@ class RolloutEngine:
             self._fwd_cache[key] = jax.jit(fwd)
 
         ng, nj, ne = caps
+        push, pull = edges["push"], edges["pull"]
+        attr = dict(edge_attr)
+        if self._bc == "noflux":
+            # exclude boundary-grain (id 0) edges from the model input
+            # (test.py:365-375) — its ring is unbounded and unphysical
+            keep_p = push[0] > 0
+            keep_q = pull[1] > 0
+            attr = {
+                schema.EDGE_TYPES[0]: edge_attr[schema.EDGE_TYPES[0]][keep_p],
+                schema.EDGE_TYPES[1]: edge_attr[schema.EDGE_TYPES[1]][keep_q],
+                schema.EDGE_TYPES[2]: edge_attr[schema.EDGE_TYPES[2]],
+            }
+            push = push[:, keep_p]
+            pull = pull[:, keep_q]
         sample = state.build_sample(
             {"grain": x["grain"], "joint": x["joint"]},
-            {schema.EDGE_TYPES[0]: edges["push"],
-             schema.EDGE_TYPES[1]: edges["pull"],
+            {schema.EDGE_TYPES[0]: push,
+             schema.EDGE_TYPES[1]: pull,
              schema.EDGE_TYPES[2]: edges["connect"]},
-            edge_attr,
+            attr,
             {"grain": self._mask["grain"], "joint": self._mask["joint"]},
             grain_cap=ng, joint_cap=nj, jj_edge_cap=ne,
         )
@@ -190,6 +204,7 @@ class RolloutEngine:
             "joint": np.ones((len(x["joint"]), 1), dtype=np.int64),  # test.py:291
         }
         self._mask = mask
+        self._bc = traj.BC
 
         # patch rescaling for domains larger than the 40um training patch
         # (test.py:29-55,310-312): local geometry statistics are scaled to
