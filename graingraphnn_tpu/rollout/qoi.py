@@ -24,6 +24,15 @@ def volume_graph(
     :221-242). The first entry adds the underlying spherical-cap volume
     4/(3*sqrt(pi)) * area^1.5."""
     volume = np.zeros(num_regions)
+
+    def padded(v):
+        # nucleation grows the grain count mid-rollout; earlier extraV
+        # snapshots are zero-padded to the final count (the reference's
+        # volume() would fail on ragged trajectories here)
+        out = np.zeros(num_regions)
+        out[: len(v)] = v
+        return out
+
     traj = []
     for grain, area in area_traj[0].items():
         volume[grain - 1] += 4 / 3 / math.sqrt(math.pi) * area**1.5
@@ -33,7 +42,7 @@ def volume_graph(
             volume[grain - 1] += delta_h * area / 2
         for grain, area in area_counts.items():
             volume[grain - 1] += delta_h * area / 2
-        traj.append(volume.copy() + extraV_traj[layer + 1])
+        traj.append(volume.copy() + padded(extraV_traj[layer + 1]))
     return traj
 
 
