@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--no-compare", dest="compare", action="store_false")
     p.set_defaults(compare=True)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--jit_editor", action="store_true")
+    p.add_argument("--temporal", action="store_true")
+    p.add_argument("--interp_frames", type=int, default=0)
+    p.add_argument("--plot3D", dest="plot3d", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -56,13 +60,27 @@ def main(argv=None):
     engine = RolloutEngine(
         params_r, hp_r, params_c, hp_c,
         c_threshold=args.c_threshold or extra.get("threshold", 0.6),
-        seed=args.seed, verbose=args.verbose,
+        seed=args.seed, verbose=args.verbose, jit_editor=args.jit_editor,
     )
     res = engine.run(
         hg0, traj, span=args.span or 6, compare=args.compare,
         growth_height=args.growth_height,
         nucleation_density=args.nucleation_density,
+        temporal=args.temporal, interp_frames=args.interp_frames,
+        collect_fields=args.plot3d,
     )
+    if args.plot3d and res["alpha_field_list"]:
+        from ..viz.volume import GrainVisual
+
+        gv = GrainVisual(lxd=args.lxd, seed=args.seed, height=traj.final_height)
+        out = gv.graph_recon(
+            traj.theta_z, res["alpha_field_list"],
+            span=(args.span or 6) // (args.interp_frames + 1), frames=121,
+            mesh_size=0.08, ini_height=traj.ini_height,
+            final_height=traj.final_height,
+            out=f"seed{args.seed}graph.vtk",
+        )
+        print("wrote", out)
     print(json.dumps({
         "final_layer_error": res["final_layer_error"],
         "mean_layer_error": res["mean_layer_error"],

@@ -72,8 +72,10 @@ def gr_sequence_from_time(seed, freq, delta_z, counts, ini_height, final_height,
     g_rand, r_rand = ThermalProfile.rand_gr(t, t_end, freq)
     z_sam = np.zeros(len(r_rand))
     z_sam[1:] = 0.5 * np.cumsum(r_rand[1:] + r_rand[:-1]) * (t[1] - t[0])
-    sampling_points = int(np.round((final_height - ini_height) / delta_z))
-    z_eq = delta_z * np.arange(0.5, sampling_points)
+    # `counts` (the number of inference steps) is authoritative — the
+    # reference asserts the rounded height ratio matches, which fails for
+    # heights that don't divide cleanly in binary floating point
+    z_eq = delta_z * np.arange(0.5, counts)
     g_list = interp1d(z_sam, g_rand)(z_eq)
     r_list = interp1d(z_sam, r_rand)(z_eq)
     assert len(g_list) == counts and len(r_list) == counts

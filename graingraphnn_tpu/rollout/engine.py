@@ -177,6 +177,9 @@ class RolloutEngine:
         reconstruct: bool = True,
         nucleation_density: float = 0.0,
         reconst_mesh_size: float = 0.08,
+        temporal: bool = False,
+        interp_frames: int = 0,
+        collect_fields: bool = False,
     ) -> Dict:
         span = span or getattr(hg0, "span", 6)
         t_start = time.time()
@@ -292,9 +295,24 @@ class RolloutEngine:
         frames_total = int((final_height - traj.ini_height) / TRAIN_DELTA_Z) + 1
         frame_ratio = getattr(traj, "train_test_frame_ratio", 1)
 
+        # temporal mode: varying (G, R) schedule vs build height
+        # (test.py:345-346,377-379 + graph_trajectory.GR_seq_from_time)
+        g_list = r_list = None
+        if temporal:
+            from ..data.thermal import gr_sequence_from_time
+
+            g_list, r_list = gr_sequence_from_time(
+                traj.seed, 2 ** (traj.seed % 10), TRAIN_DELTA_Z * span,
+                (frames_total - 1) // span, traj.ini_height, final_height,
+            )
+
         gnn_update(0, x, topo=True)
+        alpha_field_list = []
         if reconstruct:
             pg.rasterize(imagesize)
+            if collect_fields:
+                alpha_field_list.append(pg.alpha_field.T.copy())
+        prev_X = {k: v.copy() for k, v in x.items()}
         layer_err_list = []
         if compare:
             pg.layer_error(traj.alpha_pde_frames[:, :, 0].T)
@@ -318,6 +336,9 @@ class RolloutEngine:
             height = traj.ini_height + frame * TRAIN_DELTA_Z
 
             # <1> forward
+            if temporal:
+                x["joint"][:, 3] = 1 - g_list[frame // span - 1] / 10
+                x["joint"][:, 4] = r_list[frame // span - 1] / 2
             (y_r, y_c), _sample = self._forward(
                 {k: v.astype(np.float32) for k, v in x.items()}, edges, edge_attr, caps()
             )
@@ -409,13 +430,34 @@ class RolloutEngine:
             self._log(f"grain events hit rate: {tp}/{n_truth} (predicted {n_pred})")
 
             if reconstruct:
+                # interpolated intermediate layers for smoother 3D stacks
+                # (test.py:494-528): blend joint coordinates between the
+                # previous and current step, using whichever step's topology
+                # is closer
+                for k in range(interp_frames):
+                    coeff = (1 + k) / (1 + interp_frames)
+                    mean_x = {kk: v.copy() for kk, v in x.items()}
+                    n_prev = min(len(prev_X["joint"]), len(mean_x["joint"]))
+                    mean_x["joint"][:n_prev, :2] = (
+                        coeff * x["joint"][:n_prev, :2]
+                        + (1 - coeff) * prev_X["joint"][:n_prev, :2]
+                    )
+                    gnn_update(frame, mean_x, topo=False)
+                    pg.rasterize(imagesize)
+                    if collect_fields:
+                        alpha_field_list.append(pg.alpha_field.T.copy())
+                if interp_frames:
+                    gnn_update(frame, x, topo=False)
                 pg.rasterize(imagesize)
+                if collect_fields:
+                    alpha_field_list.append(pg.alpha_field.T.copy())
             if compare:
                 t_idx = frame // frame_ratio
                 t_idx = min(t_idx, traj.alpha_pde_frames.shape[2] - 1)
                 pg.layer_error(traj.alpha_pde_frames[:, :, t_idx].T)
                 layer_err_list.append((height, pg.error_layer))
                 self._log(f"layer error {pg.error_layer:.4f}")
+            prev_X = {k: v.copy() for k, v in x.items()}
 
             # <5> next-step inputs: grain centers + fresh edge lengths
             for grain, coor in pg.region_center.items():
@@ -442,6 +484,7 @@ class RolloutEngine:
         # ---- final QoIs (test.py:584-601) -------------------------------
         result = {
             "inference_time": elapsed,
+            "alpha_field_list": alpha_field_list if collect_fields else None,
             "grain_acc_list": grain_acc_list,
             "layer_err_list": layer_err_list,
             "final_layer_error": layer_err_list[-1][1] if layer_err_list else None,
