@@ -249,3 +249,34 @@ def stack(samples) -> GraphSample:
 
 def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def build_ell_device(
+    src: "jnp.ndarray",
+    dst: "jnp.ndarray",
+    attr: "jnp.ndarray",
+    num_dst: int,
+    max_deg: int,
+):
+    """jit-compatible destination-major ELL construction from a padded COO
+    edge list (-1 marks dead columns). Counterpart of the host `build_ell`;
+    slot order matches it (ascending edge index per destination), so the
+    masked-softmax attention sees identical neighbor ordering.
+
+    O(num_dst * E) comparisons — trivial at grain-graph sizes, and it keeps
+    the whole rollout step on device when combined with the jit topology
+    editor (rollout.topology_jit).
+    """
+    E = src.shape[0]
+    live = (src >= 0) & (dst >= 0)
+
+    def row(j):
+        cond = live & (dst == j)
+        idx, = jnp.nonzero(cond, size=max_deg, fill_value=E)
+        ok = idx < E
+        idx_safe = jnp.where(ok, idx, 0)
+        nbr = jnp.where(ok, src[idx_safe], 0)
+        length = jnp.where(ok, attr[idx_safe], 0.0)
+        return nbr.astype(jnp.int32), length, ok.astype(jnp.float32)
+
+    return jax.vmap(row)(jnp.arange(num_dst))

@@ -94,3 +94,23 @@ def test_segment_softmax_coo():
     np.testing.assert_allclose(
         np.asarray(jax.ops.segment_sum(a, seg, num_segments=2)), 1.0, atol=1e-6
     )
+
+
+def test_build_ell_device_matches_host():
+    from graingraphnn_tpu.graph import state as state_mod
+
+    f, e, w, m = synthetic_coo(16, 32, seed=5)
+    et = schema.EDGE_TYPES[1]  # joint -> grain (ring)
+    src, dst = e[et][0], e[et][1]
+    attr = w[et][:, 0]
+    nbr_h, len_h, mask_h = state_mod.build_ell(src, dst, attr, 16, 16)
+
+    import jax.numpy as jnp
+
+    nbr_d, len_d, mask_d = jax.jit(
+        lambda s, d, a: state_mod.build_ell_device(s, d, a, 16, 16)
+    )(jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+      jnp.asarray(attr, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(nbr_d), nbr_h)
+    np.testing.assert_allclose(np.asarray(len_d), len_h, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mask_d), mask_h)
