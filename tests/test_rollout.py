@@ -1,0 +1,54 @@
+"""Rollout engine smoke tests (CPU, random weights, generate-mode — no PF
+data needed): the full <1>-<5> step machinery must run, preserve invariants,
+and produce finite QoIs for periodic and noflux boundaries, with both
+editors."""
+
+import jax
+import numpy as np
+import pytest
+
+from graingraphnn_tpu.data import extraction, heterograph
+from graingraphnn_tpu.models import grain_nn, hyper
+from graingraphnn_tpu.rollout.engine import RolloutEngine
+
+
+def make_traj(bc="periodic", seed=5):
+    traj = extraction.TrajectoryExtractor(
+        lxd=40, seed=seed, frames=121, bc=bc,
+        physical_params={"G": 4.0, "R": 1.0},
+    )
+    ids, counts = np.unique(traj.alpha_field, return_counts=True)
+    traj.area_counts = dict(zip(ids, counts))
+    traj.area_traj.append(dict(traj.area_counts))
+    traj.states.append(heterograph.tensorize(traj, 0))
+    return traj
+
+
+@pytest.fixture(scope="module")
+def models():
+    hp_r = hyper.regressor(0, layer_size=16)
+    hp_c = hyper.classifier_transfered(1, layer_size=16)
+    rp = grain_nn.init_regressor(jax.random.PRNGKey(0), hp_r)
+    cp = grain_nn.init_classifier(jax.random.PRNGKey(1), hp_c, regressor_params=rp)
+    return rp, hp_r, cp, hp_c
+
+
+@pytest.mark.parametrize("bc", ["periodic", "noflux"])
+def test_rollout_runs(models, bc):
+    rp, hp_r, cp, hp_c = models
+    traj = make_traj(bc)
+    hg0 = extraction.make_test_sample(traj, span=6)
+    eng = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.99)
+    res = eng.run(hg0, traj, span=6, compare=False, growth_height=4.8,
+                  reconstruct=True)
+    assert np.isfinite(res["misorientation"]).all()
+    assert res["inference_time"] > 0
+
+
+def test_rollout_jit_editor(models):
+    rp, hp_r, cp, hp_c = models
+    traj = make_traj("periodic")
+    hg0 = extraction.make_test_sample(traj, span=6)
+    eng = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.99, jit_editor=True)
+    res = eng.run(hg0, traj, span=6, compare=False, growth_height=4.8)
+    assert np.isfinite(res["misorientation"]).all()
