@@ -180,7 +180,10 @@ class RolloutEngine:
         temporal: bool = False,
         interp_frames: int = 0,
         collect_fields: bool = False,
+        meltpool: Optional[Dict] = None,
     ) -> Dict:
+        """`meltpool`: moving-melt-pool geometry {r0, z0, melt_pool_angle}
+        (test.py:315-324); None for the static (line) melt pool."""
         span = span or getattr(hg0, "span", 6)
         t_start = time.time()
 
@@ -295,6 +298,20 @@ class RolloutEngine:
         frames_total = int((final_height - traj.ini_height) / TRAIN_DELTA_Z) + 1
         frame_ratio = getattr(traj, "train_test_frame_ratio", 1)
 
+        # moving melt pool (test.py:315-324): a sliding active window whose
+        # width follows the melt-front slope; the frame budget is set by how
+        # many window advances fit in the domain
+        melt = None
+        if meltpool is not None:
+            angle = meltpool["melt_pool_angle"]
+            gap = span * TRAIN_DELTA_Z * np.cos(angle) ** 2 / np.tan(angle) / traj.lxd
+            win = (meltpool["r0"] - meltpool["z0"]) / np.tan(angle) / traj.lxd
+            melt = {
+                "r0": meltpool["r0"], "z0": meltpool["z0"], "gap": gap,
+                "melt_left": 0.0, "melt_right": win, "melt_extra": win + gap,
+            }
+            frames_total = int(np.floor((1 - win) / gap)) * span + 1
+
         # temporal mode: varying (G, R) schedule vs build height
         # (test.py:345-346,377-379 + graph_trajectory.GR_seq_from_time)
         g_list = r_list = None
@@ -353,6 +370,38 @@ class RolloutEngine:
             }
 
             # <2> feature integration (models.Rmodel.update, :473-527)
+            active_joints = active_grains = None
+            if melt is not None:
+                # moving-meltpool active window (models.py:480-507): only
+                # nodes inside the melt window evolve; predictions near the
+                # trailing edge are tapered and scaled by front curvature
+                n_off = len(offset_j)
+                gx_j = (x["joint"][:n_off, :2] + offset_j) / max(domain_factor, 1)
+                gx_g = x["grain"][:, :2] / max(domain_factor, 1)
+
+                def window(xc):
+                    near = (xc - melt["melt_extra"]) / (
+                        melt["melt_right"] - melt["melt_extra"]
+                    )
+                    near = np.clip(near, 0.0, 1.0)
+                    near[xc < melt["melt_left"]] = 0.0
+                    return near
+
+                def curvature(xc):
+                    return melt["z0"] + (melt["r0"] - melt["z0"]) * (
+                        xc - melt["melt_left"]
+                    ) / (melt["melt_right"] - melt["melt_left"])
+
+                aw_j = np.zeros(len(x["joint"]))
+                aw_j[:n_off] = window(gx_j[:, 0])
+                aw_g = window(gx_g[:, 0])
+                pred["joint"] = pred["joint"] * aw_j[:, None]
+                pred["joint"][:n_off, 1] *= melt["r0"] / curvature(gx_j[:, 0])
+                pred["grain"][:, 0] *= aw_g * melt["r0"] / curvature(gx_g[:, 0])
+                pred["grain"][:, 1] *= aw_g
+                active_joints = aw_j > 0.9999
+                active_grains = aw_g > 0.9999
+
             x["joint"][:, :2] += pred["joint"] / schema.TARGET_SCALING["joint"]
             x["grain"][:, schema.GRAIN_AREA_COL] += (
                 pred["grain"][:, 0] / schema.TARGET_SCALING["grain"]
@@ -380,13 +429,18 @@ class RolloutEngine:
                 nucleation_density * traj.lxd * traj.lxd * TRAIN_DELTA_Z
                 / max(int(mask["joint"].sum()), 1)
             )
-            if self.jit_editor and nucleation_prob <= 1e-6:
+            if melt is not None:
+                # editor honors the active window (models.py:641-648,912)
+                cand = cand[active_grains[cand]]
+                pred["grain_event"] = cand
+            if self.jit_editor and nucleation_prob <= 1e-6 and melt is None:
                 x, edges, switching_list, extra_events = self._jit_update(
                     x, edges, pred, mask
                 )
             else:
                 x, edges, switching_list, extra_events = self.editor.update(
-                    x, edges, pred, mask, nucleation_prob=nucleation_prob
+                    x, edges, pred, mask, nucleation_prob=nucleation_prob,
+                    active_grains=active_grains, active_joints=active_joints,
                 )
             pred["grain_event"] = np.concatenate([pred["grain_event"], extra_events])
 
@@ -458,6 +512,12 @@ class RolloutEngine:
                 layer_err_list.append((height, pg.error_layer))
                 self._log(f"layer error {pg.error_layer:.4f}")
             prev_X = {k: v.copy() for k, v in x.items()}
+
+            if melt is not None:
+                # advance the sliding window (test.py:551-554)
+                melt["melt_left"] += melt["gap"]
+                melt["melt_right"] += melt["gap"]
+                melt["melt_extra"] += melt["gap"]
 
             # <5> next-step inputs: grain centers + fresh edge lengths
             for grain, coor in pg.region_center.items():
