@@ -20,7 +20,7 @@ import numpy as np
 from scipy.spatial import Voronoi
 from scipy.stats import truncnorm
 
-from .planar import EPS, PlanarGraph, shares_two_grains
+from .planar import EPS, PlanarGraph
 
 
 def _in_bound(x, y, max_y=1.0, cone_ratio=0.0):

@@ -17,17 +17,15 @@ the reference's CPU rollout loop.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.heterograph import PUSH
 from ..graph import schema, state
 from ..graph import state as state_mod
-from ..graph.planar import PlanarGraph, periodic_dist_pt
+from ..graph.planar import PlanarGraph
 from ..models import grain_nn
 from .qoi import (
     event_hit_rate,

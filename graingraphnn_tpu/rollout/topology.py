@@ -26,7 +26,6 @@ from typing import Dict, List
 import numpy as np
 
 from ..graph.geometry import point_in_triangle
-from ..graph.planar import periodic_move_pt
 
 JOINT_SCALE = 5.0
 GRAIN_SCALE = 20.0
