@@ -229,3 +229,53 @@ def zero_state(sample: GraphSample, out_channels: int, dtype=jnp.float32):
     }
     c = jax.tree_util.tree_map(jnp.copy, h)
     return h, c
+
+
+# ---------------------------------------------------------------------------
+# Non-recurrent ReLU variants (reference HeteroPGC heteropgclstm.py:185-284,
+# HeteroGC heterogclstm.py:199-274, stacked by models.GC:15-148) — exist in
+# the reference but unused by the shipped models; provided for API parity
+# and ablations.
+# ---------------------------------------------------------------------------
+
+
+def init_pgc(key, in_grain, in_joint, out_channels, dtype=jnp.float32):
+    """Single-gate periodic graph conv cell (ReLU activation, no LSTM state)."""
+    C = out_channels
+    fg, fj = in_grain + C, in_joint + C
+    ks = jax.random.split(key, 5)
+    conv = {
+        "push": init_period_conv(ks[0], fg, fj, C, 1, dtype),
+        "pull": init_period_conv(ks[1], fj, fg, C, 1, dtype),
+        "connect": init_period_conv(ks[2], fj, fj, C, 1, dtype),
+    }
+    bias = {
+        "grain": glorot_uniform(ks[3], (1, C), 1, C, dtype),
+        "joint": glorot_uniform(ks[4], (1, C), 1, C, dtype),
+    }
+    return {"conv": conv, "bias": bias}
+
+
+def apply_pgc(params, sample, grain_in, joint_in, state, out_channels):
+    """h = relu(conv(cat([x, h])) + b); the cell state passes through
+    unchanged (heteropgclstm.py:243-284)."""
+    C = out_channels
+    h, c = state
+    xg = jnp.concatenate([grain_in, h["grain"]], axis=1)
+    xj = jnp.concatenate([joint_in, h["joint"]], axis=1)
+    kw = dict(num_gates=1, out_channels=C)
+    out_push = apply_period_conv(
+        params["conv"]["push"], xg, xj, sample.push_nbr, sample.push_len,
+        sample.push_mask, **kw,
+    )
+    out_connect = apply_period_conv(
+        params["conv"]["connect"], xj, xj, sample.connect_nbr,
+        sample.connect_len, sample.connect_mask, **kw,
+    )
+    out_pull = apply_period_conv(
+        params["conv"]["pull"], xj, xg, sample.pull_nbr, sample.pull_len,
+        sample.pull_mask, **kw,
+    )
+    h_j = jax.nn.relu(out_push + out_connect + params["bias"]["joint"].reshape(-1))
+    h_g = jax.nn.relu(out_pull + params["bias"]["grain"].reshape(-1))
+    return {"grain": h_g, "joint": h_j}, c

@@ -130,9 +130,14 @@ def apply_period_conv(
     *,
     num_gates: int,
     out_channels: int,
+    attention: bool = True,
 ) -> jnp.ndarray:
-    """Fused-gate periodic conv. Returns [Nd, num_gates * out_channels]."""
-    if _USE_PALLAS:
+    """Fused-gate periodic conv. Returns [Nd, num_gates * out_channels].
+
+    attention=False reproduces the reference's ablation twin periodconv.py
+    (identical module with the `out * alpha` weighting disabled,
+    periodconv.py:235): messages are plain masked sums over neighbors."""
+    if _USE_PALLAS and attention:
         from ..kernels.edge_stage import apply_period_conv_pallas
 
         return apply_period_conv_pallas(
@@ -185,11 +190,16 @@ def apply_period_conv(
     ) + params["l2"]["b"]
 
     # ---- attention: per-gate logits, masked softmax over neighbor axis ----
-    logits = jnp.sum(
-        (Q.reshape(Nd, 1, G, C) * k_e.reshape(Nd, K, G, C)).astype(jnp.float32),
-        axis=-1,
-    ) / math.sqrt(C)                                             # [Nd, K, G]
-    alpha = masked_softmax(logits, nbr_mask[..., None], axis=1)  # fp32 always
+    if attention:
+        logits = jnp.sum(
+            (Q.reshape(Nd, 1, G, C) * k_e.reshape(Nd, K, G, C)).astype(jnp.float32),
+            axis=-1,
+        ) / math.sqrt(C)                                         # [Nd, K, G]
+        alpha = masked_softmax(logits, nbr_mask[..., None], axis=1)  # fp32
+    else:
+        alpha = jnp.broadcast_to(
+            nbr_mask[..., None].astype(jnp.float32), (Nd, K, G)
+        )
 
     msg = (v + e.reshape(Nd, K, G, C)).astype(jnp.float32) * alpha[..., None]
     out = jnp.sum(msg, axis=1).reshape(Nd, G * C)

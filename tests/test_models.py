@@ -132,3 +132,29 @@ def test_two_layer_stack_uses_sage_cells():
     y = grain_nn.apply_regressor(params, hp, s)
     assert y["joint"].shape == (32, 2)
     assert np.isfinite(np.asarray(y["joint"])).all()
+
+
+def test_no_attention_ablation_differs():
+    """periodconv.py twin: attention disabled -> plain masked neighbor sum."""
+    from graingraphnn_tpu.ops import period_conv as pc
+    s = synthetic_sample(ng=16, nj=32)
+    params = pc.init_period_conv(jax.random.PRNGKey(3), 8, 11, 8, 1)
+    out_a = pc.apply_period_conv(
+        params, s.joint_x, s.grain_x, s.pull_nbr, s.pull_len, s.pull_mask,
+        num_gates=1, out_channels=8, attention=True)
+    out_n = pc.apply_period_conv(
+        params, s.joint_x, s.grain_x, s.pull_nbr, s.pull_len, s.pull_mask,
+        num_gates=1, out_channels=8, attention=False)
+    assert np.isfinite(np.asarray(out_n)).all()
+    assert np.abs(np.asarray(out_a) - np.asarray(out_n)).max() > 1e-4
+
+
+def test_non_recurrent_pgc_cell():
+    from graingraphnn_tpu.models import cells
+    from graingraphnn_tpu.graph import schema
+    s = synthetic_sample(ng=16, nj=32)
+    params = cells.init_pgc(jax.random.PRNGKey(4), schema.GRAIN_DIM, schema.JOINT_DIM, 8)
+    state = cells.zero_state(s, 8)
+    h, c = cells.apply_pgc(params, s, s.grain_x, s.joint_x, state, 8)
+    assert h["grain"].shape == (16, 8) and h["joint"].shape == (32, 8)
+    assert np.all(np.asarray(h["grain"]) >= 0)  # ReLU activation
