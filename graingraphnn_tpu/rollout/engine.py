@@ -151,6 +151,11 @@ class RolloutEngine:
             }
             push = push[:, keep_p]
             pull = pull[:, keep_q]
+        # grains grow more sides as neighbors are eliminated — size the ring
+        # capacity from the live degree distribution (bucketed for compiles)
+        live_dst = pull[1][pull[1] >= 0]
+        max_ring = int(np.bincount(live_dst).max()) if len(live_dst) else 1
+        ring = max(schema.DEFAULT_GRAIN_RING, state.round_up(max_ring, 8))
         sample = state.build_sample(
             {"grain": x["grain"], "joint": x["joint"]},
             {schema.EDGE_TYPES[0]: push,
@@ -158,7 +163,7 @@ class RolloutEngine:
              schema.EDGE_TYPES[2]: edges["connect"]},
             attr,
             {"grain": self._mask["grain"], "joint": self._mask["joint"]},
-            grain_cap=ng, joint_cap=nj, jj_edge_cap=ne,
+            grain_cap=ng, joint_cap=nj, jj_edge_cap=ne, grain_ring=ring,
         )
         y_r, y_c = self._fwd_cache[key](sample)
         return jax.tree_util.tree_map(np.asarray, (y_r, y_c)), sample
