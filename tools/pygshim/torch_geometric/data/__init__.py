@@ -32,6 +32,10 @@ class HeteroData:
         self._globals[key] = value
 
     def __getattr__(self, key):
+        # direct assignments (e.g. test.py:426 `data.edge_index_dict = ...`,
+        # :565 `data.edge_attr_dict = {}`) take precedence over derived views
+        if key in self._globals:
+            return self._globals[key]
         if key.endswith("_dict"):
             attr = {"x_dict": "x", "edge_index_dict": "edge_index",
                     "edge_attr_dict": "edge_attr", "y_dict": "y"}.get(key)

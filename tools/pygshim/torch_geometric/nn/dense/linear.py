@@ -67,5 +67,13 @@ class Linear(Module):
             self._materialize(x.size(-1))
         return F.linear(x, self.weight, self.bias)
 
+    def _load_from_state_dict(self, state_dict, prefix, *args, **kwargs):
+        # lazy-materialize from the checkpoint's shapes, as torch's
+        # LazyModuleMixin does — the reference loads .pt files without a
+        # prior dummy forward (test.py:178,183)
+        if self.weight is None and prefix + "weight" in state_dict:
+            self._materialize(state_dict[prefix + "weight"].shape[1])
+        super()._load_from_state_dict(state_dict, prefix, *args, **kwargs)
+
     def __repr__(self):
         return f"Linear({self.in_channels}, {self.out_channels})"
