@@ -1,16 +1,23 @@
-"""Benchmark: training-step throughput (edges/s) of the flagship GrainNN
-regressor on the current accelerator.
+"""Benchmark — prints ONE JSON line.
 
-Baseline: the reference's only wall-clock training number — regressor0
-trained 38,461 samples x 50 epochs (batch 4) in 33,573 s on one GPU
-(model/regressor0_logfile), i.e. ~57.3 samples/s over ~2052 message-passing
-edges per sample ≈ 1.18e5 edges/s including the backward pass.
+Headline: **device-resident rollout throughput** (edges/s/chip), the literal
+BASELINE.json metric. A fully-jitted lax.scan of rollout spans
+(rollout.device_rollout: forward + feature integration + jit topology editor
++ device ELL rebuild, zero host transfers) over a real Voronoi
+microstructure at the 120 um paper scale (~1043 grains / 2086 joints), with
+the shipped trained checkpoints (artifacts/40um) and the reference's
+thresholds (test.py:187-188).
 
-Methodology: one jitted lax.scan of TRAIN_STEPS full train steps (forward +
-backward + Adam) over a batch-4 stack of training-patch-sized graphs (118
-grains / 236 joints / 708 edges per edge type, matching the reference's
-training distribution), so dispatch latency amortizes as it would in a real
-input pipeline. Prints ONE JSON line.
+Baseline: the reference's own rollout driver (/root/reference/test.py, torch)
+run on this machine's CPU — the only hardware both frameworks share — on its
+headline 40 um seed10020 case: 16.89 s inference loop for 21 spans x ~2124
+live message edges ≈ 2,640 edges/s (measured via scripts/ab_rollout.py;
+artifacts/ab). The reference publishes no rollout throughput of its own.
+
+Also reported (extra keys in the same line): the same-case 40 um rollout
+rate, and the training-step throughput vs the reference's logged training
+rate (regressor0_logfile: 38,461 samples x 50 epochs, batch 4, 33,573 s on
+one GPU ≈ 117.5k edges/s including backward).
 """
 
 import json
@@ -18,12 +25,50 @@ import time
 
 import numpy as np
 
-REFERENCE_EDGES_PER_S = 38461 * 50 * 3 * 684 / 33573.0  # ≈ 117.5k edges/s
+REFERENCE_TRAIN_EDGES_PER_S = 38461 * 50 * 3 * 684 / 33573.0  # ≈ 117.5k
+REFERENCE_ROLLOUT_EDGES_PER_S = 21 * 2124 / 16.89             # ≈ 2,640
 
 
-def main():
+def _real_state(lxd: int, seed: int = 5):
+    """Real Voronoi microstructure (generate mode, periodic BC) packed into
+    a device rollout state."""
+    from graingraphnn_tpu.data import extraction, heterograph
+    from graingraphnn_tpu.rollout import device_rollout as dr
+
+    traj = extraction.TrajectoryExtractor(
+        lxd=lxd, seed=seed, frames=121, bc="periodic",
+        physical_params={"G": 4.0, "R": 1.0},
+    )
+    traj.area_counts = dict(zip(*np.unique(traj.alpha_field, return_counts=True)))
+    traj.area_traj.append(dict(traj.area_counts))
+    traj.states.append(heterograph.tensorize(traj, 0))
+    hg0 = extraction.make_test_sample(traj, span=6)
+    return dr.state_from_heterograph(hg0)
+
+
+def bench_rollout(lxd: int, n_steps: int = 20):
     import jax
-    import jax.numpy as jnp
+
+    from graingraphnn_tpu.rollout import device_rollout as dr
+    from graingraphnn_tpu.train import checkpoint
+
+    params_r, hp_r, _ = checkpoint.load("artifacts/40um/regressor0")
+    params_c, hp_c, _ = checkpoint.load("artifacts/40um/classifier1")
+    st = _real_state(lxd)
+    run = dr.make_rollout_scan(
+        params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99
+    )
+    st2, aux = run(st)  # compile + warmup
+    _ = float(np.asarray(aux["message_edges"]).sum())
+    t0 = time.perf_counter()
+    st2, aux = run(st)
+    edges = float(np.asarray(aux["message_edges"]).sum())  # forces completion
+    dt = time.perf_counter() - t0
+    return edges / dt, dt / n_steps * 1e3
+
+
+def bench_train():
+    import jax
     import optax
 
     from __graft_entry__ import _synthetic_sample
@@ -31,10 +76,7 @@ def main():
     from graingraphnn_tpu.models import grain_nn, hyper
     from graingraphnn_tpu.train import trainer
 
-    BATCH = 4
-    TRAIN_STEPS = 50
-    ng, nj = 118, 236
-
+    BATCH, TRAIN_STEPS, ng, nj = 4, 50, 118, 236
     samples = [
         _synthetic_sample(ng=ng, nj=nj, seed=i, with_targets=True)
         for i in range(BATCH)
@@ -46,7 +88,7 @@ def main():
         + np.asarray(batch.connect_mask).sum()
     ) // BATCH
 
-    hp = hyper.regressor(0)  # shipped config: hidden 96, batch 4
+    hp = hyper.regressor(0)
     params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
     tx = optax.adam(hp.lr)
     opt_state = tx.init(params)
@@ -66,24 +108,35 @@ def main():
         )
         return params, opt_state, losses
 
-    # compile + warmup
     p, o, losses = many_steps(params, opt_state, batch)
-    jax.block_until_ready(losses)
-
+    _ = float(np.asarray(losses).sum())
     t0 = time.perf_counter()
     p, o, losses = many_steps(p, o, batch)
-    jax.block_until_ready(losses)
+    _ = float(np.asarray(losses).sum())
     dt = time.perf_counter() - t0
+    return TRAIN_STEPS / dt * BATCH * edges_per_sample
 
-    steps_per_s = TRAIN_STEPS / dt
-    edges_per_s = steps_per_s * BATCH * edges_per_sample
+
+def main():
+    rollout_120, ms_120 = bench_rollout(120)
+    rollout_40, ms_40 = bench_rollout(40)
+    train_eps = bench_train()
     print(
         json.dumps(
             {
-                "metric": "train_step_edges_per_s",
-                "value": round(edges_per_s, 1),
+                "metric": "rollout_edges_per_s_per_chip",
+                "value": round(rollout_120, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 3),
+                "vs_baseline": round(rollout_120 / REFERENCE_ROLLOUT_EDGES_PER_S, 1),
+                "rollout_ms_per_step_120um": round(ms_120, 2),
+                "rollout_40um_edges_per_s": round(rollout_40, 1),
+                "rollout_40um_vs_baseline": round(
+                    rollout_40 / REFERENCE_ROLLOUT_EDGES_PER_S, 1
+                ),
+                "train_edges_per_s": round(train_eps, 1),
+                "train_vs_baseline": round(
+                    train_eps / REFERENCE_TRAIN_EDGES_PER_S, 3
+                ),
             }
         )
     )

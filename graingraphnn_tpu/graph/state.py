@@ -272,9 +272,13 @@ def build_ell_device(
 
     def row(j):
         cond = live & (dst == j)
-        idx, = jnp.nonzero(cond, size=max_deg, fill_value=E)
-        ok = idx < E
-        idx_safe = jnp.where(ok, idx, 0)
+        # top_k over negated indices = first-max_deg ascending nonzero; XLA's
+        # nonzero cumsum lowering is quadratic on TPU (see
+        # rollout.topology_jit._nonzero)
+        key = jnp.where(cond, -jnp.arange(E, dtype=jnp.int32), jnp.int32(-(2**30)))
+        v, _ = jax.lax.top_k(key, max_deg)
+        ok = v > -(2**30)
+        idx_safe = jnp.where(ok, -v, 0)
         nbr = jnp.where(ok, src[idx_safe], 0)
         length = jnp.where(ok, attr[idx_safe], 0.0)
         return nbr.astype(jnp.int32), length, ok.astype(jnp.float32)

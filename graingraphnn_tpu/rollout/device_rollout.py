@@ -1,0 +1,325 @@
+"""Fully device-resident rollout step (reference loop: test.py:353-577).
+
+The host engine (rollout.engine) mirrors the reference's CPU loop: forward on
+device, then feature integration, topology editing, ELL rebuild and edge-length
+recomputation on host — a host<->device round trip per span. This module chains
+the whole step on device:
+
+    build ELL + edge lengths  (build_ell_sorted: sort-based, no host loop)
+      -> regressor + classifier forward       (models.grain_nn)
+      -> feature integration + z advance      (models.py:473-527, test.py:401-407)
+      -> elimination candidates               (test.py:409-417)
+      -> jit topology editor                  (rollout.topology_jit)
+      -> COO compaction + grain centers       (test.py:556-559)
+
+so a multi-span rollout is one `lax.scan` with zero host transfers — the
+configuration the BASELINE "edges/s/chip in rollout" metric is measured on
+(bench.py). Scope: periodic BC, nucleation-free, static melt pool (the
+flagship 40/120 um test cases); generate-mode nucleation and the moving melt
+pool stay on the host engine.
+
+Two deliberate deviations from the host path, both wrap-invariant downstream:
+
+* grain centers are the masked mean of each grain's junction ring unwrapped
+  into the periodic image of the previous center and taken mod 1, where the
+  reference unwraps sequentially in ring order and keeps raw coordinates
+  (graph_datastruct.py:654-799). Identical up to whole-period shifts for any
+  grain smaller than half the domain; the conv re-wraps all relative
+  positions, so downstream dynamics match.
+* arithmetic is float32 on device; the host engine integrates in float64.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import schema
+from ..graph.state import GraphSample, round_up
+from ..models import grain_nn
+from . import topology_jit as tj
+
+TRAIN_FRAMES = 120       # test.py:190
+NEG = -1e30
+
+
+class DeviceRolloutState(NamedTuple):
+    xg: jnp.ndarray      # [NG, GRAIN_DIM] float32
+    xj: jnp.ndarray      # [NJ, JOINT_DIM] float32
+    E_pp: jnp.ndarray    # [2, EP] int32 directed jj COO; -1 sentinels,
+                         # live columns compacted to the front each step
+    E_pq: jnp.ndarray    # [2, EQ] int32 pull COO (joint, grain)
+    mask_g: jnp.ndarray  # [NG] int32
+    mask_j: jnp.ndarray  # [NJ] int32
+    n_pp: jnp.ndarray    # scalar int32: live E_pp columns (append cursor)
+
+
+def _wrap(rel):
+    """Minimum-image displacement on the unit torus."""
+    return rel - (rel > 0.5).astype(rel.dtype) + (rel < -0.5).astype(rel.dtype)
+
+
+def build_ell_sorted(src, dst, attr, num_dst: int, max_deg: int):
+    """Destination-major ELL from a padded COO list, on device.
+
+    Sort-based O(E log E) counterpart of graph.state.build_ell: a stable
+    argsort by destination preserves ascending edge order within each
+    destination, so slot order matches the host builder exactly (the masked
+    softmax sees identical neighbor ordering). -1 marks dead columns.
+
+    Returns (nbr [D,K] i32, len [D,K] f32, mask [D,K] f32, overflow bool) —
+    `overflow` flags any destination whose live degree exceeds max_deg
+    (those edges are dropped; callers must check at sync points).
+    """
+    E = src.shape[0]
+    live = (src >= 0) & (dst >= 0)
+    dstk = jnp.where(live, dst, num_dst).astype(jnp.int32)
+    order = jnp.argsort(dstk, stable=True)
+    ds = dstk[order]
+    ss = src[order]
+    aa = attr[order]
+    first = jnp.searchsorted(ds, ds, side="left")
+    slot = jnp.arange(E, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (ds < num_dst) & (slot < max_deg)
+    flat = jnp.where(ok, ds * max_deg + slot, num_dst * max_deg)
+    size = num_dst * max_deg + 1
+    nbr = jnp.zeros(size, jnp.int32).at[flat].set(ss.astype(jnp.int32))
+    length = jnp.zeros(size, jnp.float32).at[flat].set(aa.astype(jnp.float32))
+    mask = jnp.zeros(size, jnp.float32).at[flat].set(1.0)
+    overflow = ok.sum() < live.sum()
+    return (
+        nbr[:-1].reshape(num_dst, max_deg),
+        length[:-1].reshape(num_dst, max_deg),
+        mask[:-1].reshape(num_dst, max_deg),
+        overflow,
+    )
+
+
+def _coo_lengths(pos_src, pos_dst, src, dst):
+    """Periodic edge lengths for a padded COO list (test.py:560-575 rebuilds
+    these on host every step)."""
+    s = jnp.where(src >= 0, src, 0)
+    d = jnp.where(dst >= 0, dst, 0)
+    rel = _wrap(pos_src[s] - pos_dst[d])
+    return jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+
+
+def make_sample(state: DeviceRolloutState, ring: int = tj.RING_MAX):
+    """Assemble the padded GraphSample for the forward, entirely on device.
+    Returns (sample, ring_overflow)."""
+    xg, xj = state.xg, state.xj
+    NG, NJ = xg.shape[0], xj.shape[0]
+    pos_g, pos_j = xg[:, :2], xj[:, :2]
+    pq_len = _coo_lengths(pos_j, pos_g, state.E_pq[0], state.E_pq[1])
+    pp_len = _coo_lengths(pos_j, pos_j, state.E_pp[0], state.E_pp[1])
+
+    push_nbr, push_len, push_mask, _ = build_ell_sorted(
+        state.E_pq[1], state.E_pq[0], pq_len, NJ, schema.JG_DEGREE
+    )
+    connect_nbr, connect_len, connect_mask, _ = build_ell_sorted(
+        state.E_pp[0], state.E_pp[1], pp_len, NJ, schema.JJ_DEGREE
+    )
+    pull_nbr, pull_len, pull_mask, overflow = build_ell_sorted(
+        state.E_pq[0], state.E_pq[1], pq_len, NG, ring
+    )
+
+    jj_live = (state.E_pp[0] >= 0).astype(jnp.float32)
+    EP = state.E_pp.shape[1]
+    zf = jnp.zeros
+    sample = GraphSample(
+        grain_x=xg,
+        joint_x=xj,
+        grain_mask=state.mask_g.astype(jnp.float32),
+        joint_mask=state.mask_j.astype(jnp.float32),
+        push_nbr=push_nbr, push_len=push_len, push_mask=push_mask,
+        connect_nbr=connect_nbr, connect_len=connect_len,
+        connect_mask=connect_mask,
+        pull_nbr=pull_nbr, pull_len=pull_len, pull_mask=pull_mask,
+        jj_src=jnp.maximum(state.E_pp[0], 0),
+        jj_dst=jnp.maximum(state.E_pp[1], 0),
+        jj_len=pp_len * jj_live,
+        jj_mask=jj_live,
+        y_grain=zf((NG, 2), jnp.float32),
+        y_joint=zf((NJ, 2), jnp.float32),
+        y_edge_event=jnp.full((EP,), float(schema.EDGE_EVENT_INVALID), jnp.float32),
+        y_grain_event=zf((NG,), jnp.float32),
+        y_edge=zf((EP,), jnp.float32),
+        y_edge_mask=zf((EP,), jnp.float32),
+        n_grain_rows=state.mask_g.sum().astype(jnp.float32),
+        n_joint_rows=state.mask_j.sum().astype(jnp.float32),
+        n_jj_rows=jj_live.sum(),
+    )
+    return sample, overflow
+
+
+def device_step(
+    reg_params, hp_r, cls_params, hp_c,
+    state: DeviceRolloutState,
+    *,
+    r_threshold: float = 1e-4,   # test.py:187
+    c_threshold: float = 0.6,    # test.py:188
+    span: int = 6,
+    ring: int = tj.RING_MAX,
+) -> tuple[DeviceRolloutState, Dict]:
+    """One rollout span advance, fully traced (steps <1>-<5> of
+    rollout.engine.run). Returns (next_state, aux) where aux carries the
+    per-step event ids, message-edge count, and the ring-overflow flag."""
+    NG = state.xg.shape[0]
+    sample, overflow = make_sample(state, ring)
+
+    # <1> forward
+    y_r = grain_nn.apply_regressor(reg_params, hp_r, sample)
+    y_c = grain_nn.apply_classifier(cls_params, hp_c, sample)
+    pred_j = y_r["joint"]
+    pred_g = y_r["grain"]
+    area = y_r["grain_area"]
+
+    # <2> feature integration (models.py:510-516) + z advance (test.py:401-407)
+    xg, xj = state.xg, state.xj
+    xj = xj.at[:, :2].add(pred_j / schema.TARGET_SCALING["joint"])
+    xg = xg.at[:, schema.GRAIN_AREA_COL].add(
+        pred_g[:, 0] / schema.TARGET_SCALING["grain"]
+    )
+    xg = xg.at[:, schema.GRAIN_EXTRAV_COL].set(pred_g[:, 1])
+    xj = xj.at[:, 6:8].set(pred_j)
+    xg = xg.at[:, schema.GRAIN_DAREA_COL].set(pred_g[:, 0])
+    dz = span / (TRAIN_FRAMES + 1)
+    zmax = TRAIN_FRAMES / (TRAIN_FRAMES + 1)
+    clamp = (xg[0, 2] + dz) > zmax
+    xg = xg.at[:, 2].set(jnp.where(clamp, zmax, xg[:, 2] + dz))
+    xj = xj.at[:, 2].set(jnp.where(clamp, zmax, xj[:, 2] + dz))
+
+    # <3a> elimination candidates: live grains under the area threshold,
+    # ascending predicted area (test.py:409-414)
+    key = jnp.where((state.mask_g > 0) & (area < r_threshold), area, jnp.inf)
+    order = jnp.argsort(key)
+    ge = jnp.where(
+        jnp.isfinite(key[order]), order.astype(jnp.int32), -1
+    )[: tj.MAX_ELIM]
+
+    # <3b> jit topology editor
+    jj_live = state.E_pp[0] >= 0
+    logits = jnp.where(jj_live, y_c["edge_event"], NEG)
+    tstate = tj.TopoState(
+        E_pp=state.E_pp, E_pq=state.E_pq, xj=xj, y_joint=pred_j,
+        mask_g=state.mask_g, mask_j=state.mask_j, append_ptr=state.n_pp,
+    )
+    tstate, switching, extra = tj.update_jit(
+        tstate, logits, ge, pred_g, c_threshold, NG
+    )
+    xj = tstate.xj
+
+    # compact E_pp so the append cursor never outgrows the fixed capacity
+    # (the host engine drops dead columns each step, engine.py:106-112)
+    livec = tstate.E_pp[0] >= 0
+    ordc = jnp.argsort(~livec, stable=True)
+    E_pp = tstate.E_pp[:, ordc]
+    n_pp = livec.sum().astype(jnp.int32)
+
+    # <5> grain centers from the post-edit junction rings (test.py:556-559;
+    # see module docstring for the wrap-invariant deviation)
+    nbr, _len, rmask, _ = build_ell_sorted(
+        tstate.E_pq[0], tstate.E_pq[1],
+        jnp.zeros(tstate.E_pq.shape[1], jnp.float32), NG, ring,
+    )
+    ring_pos = xj[nbr, :2]
+    prev_c = xg[:, :2]
+    unwrapped = prev_c[:, None, :] + _wrap(ring_pos - prev_c[:, None, :])
+    cnt = rmask.sum(axis=1)
+    cmean = jnp.sum(unwrapped * rmask[..., None], axis=1) / jnp.maximum(
+        cnt, 1.0
+    )[:, None]
+    new_c = jnp.where((cnt >= 2)[:, None], cmean % 1.0, prev_c)
+    xg = xg.at[:, :2].set(new_c)
+
+    new_state = DeviceRolloutState(
+        xg=xg, xj=xj, E_pp=E_pp, E_pq=tstate.E_pq,
+        mask_g=tstate.mask_g, mask_j=tstate.mask_j, n_pp=n_pp,
+    )
+    aux = {
+        "grain_events": ge,
+        "extra_events": extra,
+        "switching": switching,
+        "message_edges": sample.push_mask.sum()
+        + sample.pull_mask.sum()
+        + sample.connect_mask.sum(),
+        "ring_overflow": overflow,
+    }
+    return new_state, aux
+
+
+def make_rollout_scan(
+    reg_params, hp_r, cls_params, hp_c,
+    *,
+    n_steps: int,
+    r_threshold: float = 1e-4,
+    c_threshold: float = 0.6,
+    span: int = 6,
+    ring: int = tj.RING_MAX,
+):
+    """Jitted n_steps-span rollout: state -> (state, aux-per-step). One
+    compile per (capacity, n_steps); zero host transfers inside."""
+
+    @jax.jit
+    def run(state: DeviceRolloutState):
+        def body(st, _):
+            st, aux = device_step(
+                reg_params, hp_r, cls_params, hp_c, st,
+                r_threshold=r_threshold, c_threshold=c_threshold,
+                span=span, ring=ring,
+            )
+            return st, aux
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return run
+
+
+def init_device_state(
+    x: Dict[str, np.ndarray],
+    edges: Dict[str, np.ndarray],
+    mask: Dict[str, np.ndarray],
+    *,
+    pp_cap: int | None = None,
+) -> DeviceRolloutState:
+    """Pack host-layout arrays (rollout.engine's x/edges/mask dicts) into a
+    padded device state. E_pp capacity defaults to the live count plus the
+    per-step edit slack, rounded to 128 columns (compaction keeps the cursor
+    bounded across arbitrarily many steps)."""
+    connect = np.asarray(edges["connect"], np.int64)
+    connect = connect[:, connect[0] >= 0]
+    slack = 2 * (tj.MAX_ELIM * 3 + tj.MAX_TWOSIDED + 2)
+    EP = pp_cap or round_up(connect.shape[1] + slack, 128)
+    E_pp = np.full((2, EP), -1, np.int32)
+    E_pp[:, : connect.shape[1]] = connect
+    pull = np.asarray(edges["pull"], np.int64)
+    return DeviceRolloutState(
+        xg=jnp.asarray(x["grain"], jnp.float32),
+        xj=jnp.asarray(x["joint"], jnp.float32),
+        E_pp=jnp.asarray(E_pp),
+        E_pq=jnp.asarray(pull, jnp.int32),
+        mask_g=jnp.asarray(np.asarray(mask["grain"]).reshape(-1), jnp.int32),
+        mask_j=jnp.asarray(np.asarray(mask["joint"]).reshape(-1), jnp.int32),
+        n_pp=jnp.asarray(connect.shape[1], jnp.int32),
+    )
+
+
+def state_from_heterograph(hg0, *, pp_cap: int | None = None) -> DeviceRolloutState:
+    """Device state straight from a test-mode HeteroState (the engine's
+    initialization, engine.py:193-214)."""
+    x = {
+        "grain": np.asarray(hg0.feature_dicts["grain"], np.float32),
+        "joint": np.asarray(hg0.feature_dicts["joint"], np.float32),
+    }
+    edges = {
+        "pull": np.asarray(hg0.edge_index_dicts[schema.EDGE_TYPES[1]], np.int64),
+        "connect": np.asarray(hg0.edge_index_dicts[schema.EDGE_TYPES[2]], np.int64),
+    }
+    mask = {
+        "grain": np.asarray(hg0.mask["grain"], np.int64).reshape(-1),
+        "joint": np.ones(len(x["joint"]), np.int64),
+    }
+    return init_device_state(x, edges, mask, pp_cap=pp_cap)

@@ -1,0 +1,244 @@
+"""Device-resident rollout parity: the fully-jitted step (periodic BC,
+nucleation-free) must reproduce the host engine's step semantics — same
+sample construction, same feature integration, same topology edits — and a
+multi-span lax.scan must run with zero host transfers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graingraphnn_tpu.data import extraction, heterograph
+from graingraphnn_tpu.graph import schema, state
+from graingraphnn_tpu.models import grain_nn, hyper
+from graingraphnn_tpu.rollout import device_rollout as dr
+from graingraphnn_tpu.rollout import topology_jit as tj
+from graingraphnn_tpu.rollout.engine import RolloutEngine
+
+
+def make_traj(seed=5):
+    traj = extraction.TrajectoryExtractor(
+        lxd=40, seed=seed, frames=121, bc="periodic",
+        physical_params={"G": 4.0, "R": 1.0},
+    )
+    ids, counts = np.unique(traj.alpha_field, return_counts=True)
+    traj.area_counts = dict(zip(ids, counts))
+    traj.area_traj.append(dict(traj.area_counts))
+    traj.states.append(heterograph.tensorize(traj, 0))
+    return traj
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hp_r = hyper.regressor(0, layer_size=16)
+    hp_c = hyper.classifier_transfered(1, layer_size=16)
+    rp = grain_nn.init_regressor(jax.random.PRNGKey(0), hp_r)
+    cp = grain_nn.init_classifier(jax.random.PRNGKey(1), hp_c, regressor_params=rp)
+    traj = make_traj()
+    hg0 = extraction.make_test_sample(traj, span=6)
+    return rp, hp_r, cp, hp_c, hg0
+
+
+def test_build_ell_sorted_matches_host():
+    rng = np.random.default_rng(0)
+    num_dst, E, K = 37, 200, 5
+    src = rng.integers(0, 50, E)
+    dst = rng.integers(0, num_dst, E)
+    attr = rng.uniform(0.1, 1.0, E).astype(np.float32)
+    dead = rng.uniform(size=E) < 0.3
+    src[dead] = -1
+    dst[dead] = -1
+    # keep degrees under K so the host builder doesn't raise
+    keep = np.zeros(E, bool)
+    fill = np.zeros(num_dst, int)
+    for i in range(E):
+        if src[i] < 0:
+            keep[i] = True
+            continue
+        if fill[dst[i]] < K:
+            keep[i] = True
+            fill[dst[i]] += 1
+    src, dst, attr = src[keep], dst[keep], attr[keep]
+
+    live = src >= 0
+    h_nbr, h_len, h_mask = state.build_ell(src[live], dst[live], attr[live], num_dst, K)
+    d_nbr, d_len, d_mask, overflow = dr.build_ell_sorted(
+        jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+        jnp.asarray(attr), num_dst, K,
+    )
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(d_mask), h_mask)
+    np.testing.assert_array_equal(np.asarray(d_nbr) * h_mask.astype(int),
+                                  h_nbr * h_mask.astype(int))
+    np.testing.assert_allclose(np.asarray(d_len), h_len, rtol=1e-6)
+
+
+def test_build_ell_sorted_flags_overflow():
+    src = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    dst = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    attr = jnp.ones(4)
+    *_, overflow = dr.build_ell_sorted(src, dst, attr, 2, 3)
+    assert bool(overflow)
+
+
+def test_make_sample_matches_host_builder(setup):
+    rp, hp_r, cp, hp_c, hg0 = setup
+    st = dr.state_from_heterograph(hg0)
+    sample, overflow = jax.jit(dr.make_sample)(st)
+    assert not bool(overflow)
+
+    # host-built reference sample at identical capacities
+    x = {k: np.asarray(hg0.feature_dicts[k], np.float32) for k in ("grain", "joint")}
+    ei = {et: np.asarray(hg0.edge_index_dicts[et]) for et in schema.EDGE_TYPES}
+    live = ei[schema.EDGE_TYPES[2]][0] > -1
+    ei[schema.EDGE_TYPES[2]] = ei[schema.EDGE_TYPES[2]][:, live]
+    # engine recomputes edge lengths from positions each step; compute the
+    # same here for the host sample so both sides use identical attrs
+    ew = {}
+    for et in schema.EDGE_TYPES:
+        e = ei[et]
+        src_x = x[et[0]][e[0], :2]
+        dst_x = x[et[-1]][e[1], :2]
+        rel = src_x - dst_x
+        rel += -1.0 * (rel > 0.5) + 1.0 * (rel < -0.5)
+        ew[et] = np.sqrt(np.sum(rel**2, axis=1))[:, None]
+    masks = {
+        "grain": np.asarray(hg0.mask["grain"]).reshape(-1, 1),
+        "joint": np.ones((len(x["joint"]), 1)),
+    }
+    ref = state.build_sample(
+        x, ei, ew, masks,
+        grain_cap=st.xg.shape[0], joint_cap=st.xj.shape[0],
+        jj_edge_cap=st.E_pp.shape[1], grain_ring=tj.RING_MAX,
+    )
+    for field in ("push_nbr", "push_mask", "connect_nbr", "connect_mask",
+                  "pull_nbr", "pull_mask", "jj_src", "jj_dst", "jj_mask",
+                  "grain_mask", "joint_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sample, field)), np.asarray(getattr(ref, field)),
+            err_msg=field,
+        )
+    for field in ("push_len", "connect_len", "pull_len", "jj_len"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sample, field)), np.asarray(getattr(ref, field)),
+            atol=1e-6, err_msg=field,
+        )
+
+
+def test_device_step_matches_host_step(setup):
+    """One full span: device_step vs a host replica of engine.run's
+    <1>-<3> (forward via the same jitted models, float64 integration, the
+    oracle-tested jit editor) plus the reference-style sequential-unwrap
+    grain centroid."""
+    rp, hp_r, cp, hp_c, hg0 = setup
+    st0 = dr.state_from_heterograph(hg0)
+    step = jax.jit(
+        lambda s: dr.device_step(rp, hp_r, cp, hp_c, s,
+                                 r_threshold=1e-4, c_threshold=0.9, span=6)
+    )
+    st1, aux = step(st0)
+    assert not bool(aux["ring_overflow"])
+
+    # ---- host replica ------------------------------------------------
+    sample, _ = dr.make_sample(st0)
+    y_r = jax.jit(lambda s: grain_nn.apply_regressor(rp, hp_r, s))(sample)
+    y_c = jax.jit(lambda s: grain_nn.apply_classifier(cp, hp_c, s))(sample)
+    x = {
+        "grain": np.asarray(st0.xg, np.float64),
+        "joint": np.asarray(st0.xj, np.float64),
+    }
+    pred = {
+        "joint": np.asarray(y_r["joint"], np.float64),
+        "grain": np.asarray(y_r["grain"], np.float64),
+        "grain_area": np.asarray(y_r["grain_area"], np.float64),
+        "edge_event": np.asarray(y_c["edge_event"], np.float64)[
+            : int(st0.n_pp)
+        ],
+    }
+    x["joint"][:, :2] += pred["joint"] / schema.TARGET_SCALING["joint"]
+    x["grain"][:, schema.GRAIN_AREA_COL] += (
+        pred["grain"][:, 0] / schema.TARGET_SCALING["grain"]
+    )
+    x["grain"][:, schema.GRAIN_EXTRAV_COL] = pred["grain"][:, 1]
+    x["joint"][:, 6:8] = pred["joint"]
+    x["grain"][:, schema.GRAIN_DAREA_COL] = pred["grain"][:, 0]
+    x["grain"][:, 2] += 6 / (dr.TRAIN_FRAMES + 1)
+    x["joint"][:, 2] += 6 / (dr.TRAIN_FRAMES + 1)
+
+    mask = {
+        "grain": np.asarray(st0.mask_g, np.int64).reshape(-1, 1).copy(),
+        "joint": np.asarray(st0.mask_j, np.int64).reshape(-1, 1).copy(),
+    }
+    live_g = mask["grain"][:, 0] > 0
+    cand = np.nonzero(live_g & (pred["grain_area"] < 1e-4))[0]
+    cand = cand[np.argsort(pred["grain_area"][cand])]
+    pred["grain_event"] = cand
+
+    edges = {
+        "connect": np.asarray(st0.E_pp[:, : int(st0.n_pp)], np.int64),
+        "pull": np.asarray(st0.E_pq, np.int64),
+    }
+    edges["push"] = edges["pull"][::-1].copy()
+    eng = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.9, jit_editor=True)
+    x, new_edges, switching, extra = eng._jit_update(x, edges, pred, mask)
+
+    # ---- compare ------------------------------------------------------
+    np.testing.assert_array_equal(np.asarray(st1.mask_g), mask["grain"][:, 0])
+    np.testing.assert_array_equal(np.asarray(st1.mask_j), mask["joint"][:, 0])
+    np.testing.assert_allclose(
+        np.asarray(st1.xj), x["joint"].astype(np.float32), atol=2e-5
+    )
+    n_pp = int(st1.n_pp)
+    np.testing.assert_array_equal(
+        np.asarray(st1.E_pp[:, :n_pp]), new_edges["connect"]
+    )
+    d_pq = np.asarray(st1.E_pq)
+    d_pq_live = d_pq[:, d_pq[0] >= 0]
+    np.testing.assert_array_equal(d_pq_live, new_edges["pull"])
+
+    # events
+    h_ge = np.full(tj.MAX_ELIM, -1, np.int64)
+    h_ge[: min(len(cand), tj.MAX_ELIM)] = cand[: tj.MAX_ELIM]
+    np.testing.assert_array_equal(np.asarray(aux["grain_events"]), h_ge)
+
+    # grain centers: reference-style sequential unwrap + positive-quadrant
+    # shift (graph_datastruct.py:654-799), compared mod 1
+    d_xg = np.asarray(st1.xg)
+    ring_of = {}
+    for j, g in new_edges["pull"].T:
+        ring_of.setdefault(int(g), []).append(int(j))
+    for g, ring in ring_of.items():
+        if len(ring) < 2 or mask["grain"][g, 0] == 0:
+            continue
+        coors = [list(x["joint"][j, :2]) for j in ring]
+        for i in range(1, len(coors)):
+            p, pc = coors[i], coors[i - 1]
+            coors[i] = [
+                p[0] - 1.0 * ((p[0] - pc[0]) > 0.5) + 1.0 * ((p[0] - pc[0]) < -0.5),
+                p[1] - 1.0 * ((p[1] - pc[1]) > 0.5) + 1.0 * ((p[1] - pc[1]) < -0.5),
+            ]
+        c = np.mean(np.asarray(coors), axis=0) % 1.0
+        diff = np.abs(d_xg[g, :2] - c) % 1.0
+        diff = np.minimum(diff, 1.0 - diff)
+        assert np.all(diff < 1e-4), (g, d_xg[g, :2], c)
+
+    # non-position grain features integrate identically
+    np.testing.assert_allclose(
+        d_xg[:, 2:], x["grain"][:, 2:].astype(np.float32), atol=2e-5
+    )
+
+
+def test_rollout_scan_runs_and_matches_engine_events(setup):
+    rp, hp_r, cp, hp_c, hg0 = setup
+    st = dr.state_from_heterograph(hg0)
+    run = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=3, c_threshold=0.99)
+    st3, aux = run(st)
+    assert not bool(np.asarray(aux["ring_overflow"]).any())
+    assert np.isfinite(np.asarray(st3.xj)).all()
+    assert np.isfinite(np.asarray(st3.xg)).all()
+    # live edge invariants hold after 3 spans of edits
+    n_pp = int(st3.n_pp)
+    E_pp = np.asarray(st3.E_pp)
+    assert (E_pp[0, :n_pp] >= 0).all() and (E_pp[:, n_pp:] == -1).all()
+    edges = np.asarray(aux["message_edges"])
+    assert (edges > 0).all()
