@@ -1,23 +1,35 @@
-"""Pallas TPU kernel: fused edge stage of the periodic graph-transformer conv.
+"""Pallas TPU kernel: fused periodic graph-transformer conv (bf16 edge stage).
 
-Fuses, per destination-row tile, entirely in VMEM:
+Computes, per destination-row tile, entirely in VMEM (reference semantics:
+periodGATconv.py:204-236 — per-edge periodic relocation, key/value
+projections, segment softmax, 2-layer value MLP, skip connection):
 
-    k_e    = K[nbr] - Pk + shift @ Wk_pos + len * We
-    logits = sum_gate_block(Q * k_e) / sqrt(C)
-    alpha  = masked softmax over the neighbor axis (per gate)
-    pre_v  = V[nbr] - Pv + shift @ Wv_pos
-    v      = relu(pre_v) @ Wl2_blockdiag + bl2
-    out    = sum_k alpha * (v + len * We)
+    x_j'   = [wrap(x_j[:3] - x_i[:3]), x_j[3:]]        (periodic reloc)
+    q      = x_i @ Wq + bq
+    k_e    = x_j' @ Wk + bk + len * We
+    logits = sum_gate_block(q * k_e) / sqrt(C)
+    alpha  = masked softmax over the neighbor axis (per gate, fp32)
+    v      = relu(x_j' @ Wv + bv) @ Wl2_blockdiag + bl2
+    out    = sum_k alpha * (v + len * We)  +  x_i @ Wskip + bsk
 
-replacing the chain that XLA would otherwise stage through HBM-sized
-[Nd, K, G*C] intermediates (k_e, pre_v, v — ~4 extra HBM round trips of
-N*K*G*C floats each). The neighbor gathers (K[nbr], V[nbr]) are performed
-outside with XLA's native gather; the value-MLP matmul runs on the MXU as a
-dense [G*C, G*C] block-diagonal product (dense-with-zeros beats 4 separate
-96x96 matmuls on a 128x128 systolic array: G*C = 384 = 3 aligned tiles).
+Design (v2 — replaces the round-1 kernel that consumed pre-gathered
+[Nd, K, G*C] key/value tables):
 
-The kernel upstreams torch-scatter's segment softmax + scatter-add
-(reference periodGATconv.py:102,227) into one pass with zero scatters.
+* The only HBM-resident per-edge array is the gather of RAW source features
+  ([Nd, K, 128] bf16 ≈ 8 MB at the 120 um scale) instead of pre-projected
+  keys+values ([Nd, K, 384] fp32 x 2 ≈ 50 MB): the K/V projections are
+  recomputed per edge INSIDE the kernel as [T, 128] x [128, G*C] MXU
+  matmuls. FLOPs are ~7x cheaper than bytes here, so trading bandwidth for
+  MXU work wins; it also removes the shift-decomposition epilogue.
+* bf16 operands with fp32 accumulation (preferred_element_type); the
+  attention softmax and the weighted aggregation stay fp32.
+* Per-gate logit reduction / alpha broadcast are tiny one-hot matmuls
+  (no lane-dim reshapes, which Mosaic cannot shape-cast).
+* Weight matrices are zero-padded from F to 128 lanes so every matmul is
+  MXU tile aligned; padded lanes contribute exactly zero.
+
+Forward-only (rollout/serving). Training uses the XLA fp32 formulation in
+ops.period_conv, which is autodiff-complete and parity-tested.
 """
 
 from __future__ import annotations
@@ -32,51 +44,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+LANES = 128
 
 
 def _kernel(
-    kg_ref,      # [T, Kn, GC] gathered keys
-    vg_ref,      # [T, Kn, GC] gathered values
-    q_ref,       # [T, GC]
-    pk_ref,      # [T, GC]
-    pv_ref,      # [T, GC]
-    shift_ref,   # [T, Kn, 8]  (3 used, padded for lane alignment)
-    elen_ref,    # [T, Kn]
-    nmask_ref,   # [T, Kn]
-    wkpos_ref,   # [8, GC]
-    wvpos_ref,   # [8, GC]
-    we_ref,      # [1, GC]
-    wl2_ref,     # [GC, GC] block-diagonal
-    bl2_ref,     # [1, GC]
-    gred_ref,    # [GC, GP] gate-block reduction one-hot (GP = padded gates)
-    gexp_ref,    # [GP, GC] gate-block expansion one-hot
-    out_ref,     # [T, GC]
+    xd_ref,      # [T, 128] bf16 destination features (zero-padded lanes)
+    xe_ref,      # [T, K, 128] bf16 gathered source features
+    elen_ref,    # [T, K] f32
+    nmask_ref,   # [T, K] f32
+    wq_ref, bq_ref,    # [128, GC] bf16, [1, GC] f32
+    wk_ref, bk_ref,
+    wv_ref, bv_ref,
+    wsk_ref, bsk_ref,
+    wl2_ref, bl2_ref,  # [GC, GC] bf16 block-diagonal, [1, GC] f32
+    we_ref,            # [1, GC] f32
+    gred_ref,          # [GC, GP] bf16 gate-block reduction one-hot
+    gexp_ref,          # [GP, GC] bf16 gate-block expansion one-hot
+    out_ref,           # [T, GC] f32
     *,
     num_gates: int,
     out_channels: int,
+    pos_dim: int,
 ):
-    """Mosaic-friendly formulation: a static loop over the Kn neighbor slots
-    with pure 2D [T, GC] tiles. Per-gate logit reduction and per-gate alpha
-    broadcast are expressed as tiny one-hot matmuls (no lane-dim reshapes,
-    which Mosaic cannot shape-cast)."""
+    T, Fp = xd_ref.shape
+    K = xe_ref.shape[1]
     C = out_channels
-    q = q_ref[:]
-    pk = pk_ref[:]
-    pv = pv_ref[:]
-    we = we_ref[0][None, :]
-    Kn = kg_ref.shape[1]
     inv_sqrt_c = 1.0 / math.sqrt(C)
+    f32 = jnp.float32
 
-    # ---- pass 1: per-neighbor gate logits ----
-    logits = []  # each [T, GP]
-    masks = []   # each [T, 1]
-    for k in range(Kn):
+    xd = xd_ref[:]
+    q = jnp.dot(xd, wq_ref[:], preferred_element_type=f32) + bq_ref[0][None, :]
+    sk = jnp.dot(xd, wsk_ref[:], preferred_element_type=f32) + bsk_ref[0][None, :]
+    we = we_ref[0][None, :]
+
+    # position-lane mask: periodic wrap applies to the first pos_dim lanes
+    # only (periodGATconv.py:209-211). Comparisons run in f32 (Mosaic has no
+    # bf16 cmpf); the relocated features are cast back for the MXU matmuls.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, Fp), 1)
+    lane3 = (lane < pos_dim).astype(f32)
+    xd3 = xd.astype(f32) * lane3
+
+    # ---- pass 1: relocated features + per-neighbor gate logits ----
+    xjps, logits, masks = [], [], []
+    for k in range(K):
+        xj = xe_ref[:, k, :]
+        rel = xj.astype(f32) - xd3
+        wrapc = (
+            (rel < -0.5).astype(f32) - (rel > 0.5).astype(f32)
+        ) * lane3
+        xjp = (rel + wrapc).astype(xd.dtype)
+        xjps.append(xjp)
         e_k = elen_ref[:, k : k + 1] * we
-        shift_k = jnp.dot(
-            shift_ref[:, k, :], wkpos_ref[:], preferred_element_type=jnp.float32
+        k_e = (
+            jnp.dot(xjp, wk_ref[:], preferred_element_type=f32)
+            + bk_ref[0][None, :]
+            + e_k
         )
-        k_e = kg_ref[:, k, :] - pk + shift_k + e_k
-        l_k = jnp.dot(q * k_e, gred_ref[:], preferred_element_type=jnp.float32)
+        l_k = jnp.dot(
+            (q * k_e).astype(xd.dtype), gred_ref[:], preferred_element_type=f32
+        )
         m_k = nmask_ref[:, k : k + 1]
         logits.append(jnp.where(m_k > 0, l_k * inv_sqrt_c, NEG))
         masks.append(m_k)
@@ -94,82 +120,94 @@ def _kernel(
         denom = ex if denom is None else denom + ex
     denom = jnp.maximum(denom, 1e-30)
 
-    # ---- pass 2: value path + weighted accumulation ----
-    acc = jnp.zeros_like(q)
-    for k in range(Kn):
-        e_k = elen_ref[:, k : k + 1] * we
-        shift_v = jnp.dot(
-            shift_ref[:, k, :], wvpos_ref[:], preferred_element_type=jnp.float32
+    # ---- pass 2: value MLP + weighted accumulation ----
+    acc = jnp.zeros((T, q.shape[1]), f32)
+    for k in range(K):
+        pre_v = (
+            jnp.dot(xjps[k], wv_ref[:], preferred_element_type=f32)
+            + bv_ref[0][None, :]
         )
-        pre_v = vg_ref[:, k, :] - pv + shift_v
-        v_k = jnp.dot(
-            jnp.maximum(pre_v, 0.0), wl2_ref[:], preferred_element_type=jnp.float32
-        ) + bl2_ref[0][None, :]
+        v_k = (
+            jnp.dot(
+                jnp.maximum(pre_v, 0.0).astype(xd.dtype),
+                wl2_ref[:],
+                preferred_element_type=f32,
+            )
+            + bl2_ref[0][None, :]
+        )
         alpha_k = jnp.dot(
-            exps[k] / denom, gexp_ref[:], preferred_element_type=jnp.float32
+            (exps[k] / denom).astype(xd.dtype),
+            gexp_ref[:],
+            preferred_element_type=f32,
         )
+        e_k = elen_ref[:, k : k + 1] * we
         acc = acc + (v_k + e_k) * alpha_k
-    out_ref[:] = acc
+    out_ref[:] = acc + sk
 
 
-def fused_edge_stage(
-    Kn_nodes: jnp.ndarray,   # [Ns, GC] node-level key projections
-    Vn_nodes: jnp.ndarray,   # [Ns, GC]
-    Q: jnp.ndarray,          # [Nd, GC]
-    Pk: jnp.ndarray,         # [Nd, GC]
-    Pv: jnp.ndarray,         # [Nd, GC]
-    pos_src: jnp.ndarray,    # [Ns, 3]
-    pos_dst: jnp.ndarray,    # [Nd, 3]
-    nbr: jnp.ndarray,        # [Nd, K] int32
-    edge_len: jnp.ndarray,   # [Nd, K]
-    nbr_mask: jnp.ndarray,   # [Nd, K]
-    wk_pos: jnp.ndarray,     # [3, GC]
-    wv_pos: jnp.ndarray,     # [3, GC]
-    we: jnp.ndarray,         # [GC]
-    wl2: jnp.ndarray,        # [G, C, C]
-    bl2: jnp.ndarray,        # [G, C]
+def _pad_lanes(a, lanes=LANES):
+    return jnp.pad(a, ((0, 0), (0, lanes - a.shape[1])))
+
+
+def apply_period_conv_pallas(
+    params,
+    x_src,      # [Ns, F_src] float32
+    x_dst,      # [Nd, F_dst] float32
+    nbr,        # [Nd, K] int32
+    edge_len,   # [Nd, K] float32
+    nbr_mask,   # [Nd, K] float32
     *,
     num_gates: int,
     out_channels: int,
-    tile: int = 128,
     interpret: bool = False,
+    tile: int = 64,
 ) -> jnp.ndarray:
-    """Returns aggregated messages [Nd, G*C] (skip connection added by the
-    caller). Nd must be padded to a multiple of `tile` by the caller's
-    capacity planning (graph.state rounds capacities up)."""
+    """Drop-in replacement for ops.period_conv.apply_period_conv (attention
+    path). Returns [Nd, G*C] float32. F_src/F_dst must be <= 128.
+
+    Nd is padded internally to a tile multiple; padded rows carry zero masks
+    (their softmax collapses to the all-masked guard) and are sliced off."""
     G, C = num_gates, out_channels
     GC = G * C
-    Nd, K = nbr.shape
+    Nd_in, K = nbr.shape
+    f_src = x_src.shape[1]
+    assert f_src <= LANES and x_dst.shape[1] <= LANES
 
-    kg = jnp.take(Kn_nodes, nbr, axis=0)            # [Nd, K, GC]
-    vg = jnp.take(Vn_nodes, nbr, axis=0)
-    rel = jnp.take(pos_src, nbr, axis=0) - pos_dst[:, None, :]
-    shift = -(rel > 0.5).astype(kg.dtype) + (rel < -0.5).astype(kg.dtype)
-    shift = jnp.pad(shift, ((0, 0), (0, 0), (0, 5)))  # lane-pad 3 -> 8
+    Nd = -(-Nd_in // tile) * tile if Nd_in > tile else Nd_in
+    if Nd != Nd_in:
+        pad = Nd - Nd_in
+        x_dst = jnp.pad(x_dst, ((0, pad), (0, 0)))
+        nbr = jnp.pad(nbr, ((0, pad), (0, 0)))
+        edge_len = jnp.pad(edge_len, ((0, pad), (0, 0)))
+        nbr_mask = jnp.pad(nbr_mask, ((0, pad), (0, 0)))
+
+    bf16 = jnp.bfloat16
+    xs = _pad_lanes(x_src.astype(bf16))
+    xd = _pad_lanes(x_dst.astype(bf16))
+    xe = jnp.take(xs, nbr, axis=0)                       # [Nd, K, 128] bf16
+
+    def wpad(w):  # [F, GC] -> [128, GC] bf16, zero rows beyond F
+        return jnp.pad(w.astype(bf16), ((0, LANES - w.shape[0]), (0, 0)))
 
     wl2_dense = jax.scipy.linalg.block_diag(
-        *[wl2[g] for g in range(G)]
-    ).astype(kg.dtype)
-    wk_pos8 = jnp.pad(wk_pos, ((0, 5), (0, 0)))
-    wv_pos8 = jnp.pad(wv_pos, ((0, 5), (0, 0)))
+        *[params["l2"]["w"][g] for g in range(G)]
+    ).astype(bf16)
 
-    # one-hot gate-block reduce/expand operators (lane-aligned, GP = 128)
-    GP = 128
+    GP = LANES
     gate_of_col = np.repeat(np.arange(G), C)
     gred = np.zeros((GC, GP), np.float32)
     gred[np.arange(GC), gate_of_col] = 1.0
-    gexp = gred.T.copy()
-    gred = jnp.asarray(gred, kg.dtype)
-    gexp = jnp.asarray(gexp, kg.dtype)
+    gexp = jnp.asarray(gred.T, bf16)
+    gred = jnp.asarray(gred, bf16)
 
     T = min(tile, Nd)
     while Nd % T:
         T //= 2
     grid = (Nd // T,)
 
-    def row_spec(block_rows, trailing):
+    def row_spec(trailing):
         return pl.BlockSpec(
-            (block_rows,) + trailing, lambda i: (i,) + (0,) * len(trailing),
+            (T,) + trailing, lambda i: (i,) + (0,) * len(trailing),
             memory_space=pltpu.VMEM,
         )
 
@@ -177,66 +215,45 @@ def fused_edge_stage(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
+    b = lambda p: p["b"].reshape(1, GC).astype(jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_kernel, num_gates=G, out_channels=C),
-        out_shape=jax.ShapeDtypeStruct((Nd, GC), kg.dtype),
+        functools.partial(
+            _kernel, num_gates=G, out_channels=C, pos_dim=3
+        ),
+        out_shape=jax.ShapeDtypeStruct((Nd, GC), jnp.float32),
         grid=grid,
         in_specs=[
-            row_spec(T, (K, GC)),   # kg
-            row_spec(T, (K, GC)),   # vg
-            row_spec(T, (GC,)),     # q
-            row_spec(T, (GC,)),     # pk
-            row_spec(T, (GC,)),     # pv
-            row_spec(T, (K, 8)),    # shift
-            row_spec(T, (K,)),      # elen
-            row_spec(T, (K,)),      # nmask
-            full((8, GC)),          # wkpos
-            full((8, GC)),          # wvpos
-            full((1, GC)),          # we
-            full((GC, GC)),         # wl2 dense
-            full((1, GC)),          # bl2
-            full((GC, 128)),        # gate reduce
-            full((128, GC)),        # gate expand
+            row_spec((LANES,)),      # xd
+            row_spec((K, LANES)),    # xe
+            row_spec((K,)),          # elen
+            row_spec((K,)),          # nmask
+            full((LANES, GC)), full((1, GC)),   # q
+            full((LANES, GC)), full((1, GC)),   # k
+            full((LANES, GC)), full((1, GC)),   # v
+            full((LANES, GC)), full((1, GC)),   # skip
+            full((GC, GC)), full((1, GC)),      # l2
+            full((1, GC)),                      # we
+            full((GC, GP)),                     # gate reduce
+            full((GP, GC)),                     # gate expand
         ],
-        out_specs=row_spec(T, (GC,)),
+        out_specs=row_spec((GC,)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * Nd * K * GC * GC + 6 * Nd * K * GC,
-            bytes_accessed=2 * Nd * K * GC * 4 + GC * GC * 4 + Nd * GC * 4 * 4,
+            flops=2 * Nd * K * LANES * GC * 2 + 2 * Nd * K * GC * GC
+            + 8 * Nd * K * GC,
+            bytes_accessed=Nd * K * LANES * 2 + 4 * LANES * GC * 2
+            + GC * GC * 2 + Nd * GC * 4,
             transcendentals=Nd * K * G,
         ),
     )(
-        kg, vg, Q, Pk, Pv, shift, edge_len, nbr_mask,
-        wk_pos8, wv_pos8, we.reshape(1, GC), wl2_dense,
-        bl2.reshape(1, GC), gred, gexp,
+        xd, xe,
+        edge_len.astype(jnp.float32), nbr_mask.astype(jnp.float32),
+        wpad(params["query"]["w"]), b(params["query"]),
+        wpad(params["key"]["w"]), b(params["key"]),
+        wpad(params["value"]["w"]), b(params["value"]),
+        wpad(params["skip"]["w"]), b(params["skip"]),
+        wl2_dense, params["l2"]["b"].reshape(1, GC).astype(jnp.float32),
+        params["edge"]["w"].reshape(1, GC).astype(jnp.float32),
+        gred, gexp,
     )
-    return out
-
-
-def apply_period_conv_pallas(
-    params, x_src, x_dst, nbr, edge_len, nbr_mask,
-    *, num_gates: int, out_channels: int, interpret: bool = False,
-):
-    """Drop-in replacement for ops.period_conv.apply_period_conv with the
-    edge stage in one Pallas kernel."""
-    from ..ops.period_conv import POS_DIM
-
-    G, C = num_gates, out_channels
-    Q = x_dst @ params["query"]["w"] + params["query"]["b"]
-    Kn = x_src @ params["key"]["w"] + params["key"]["b"]
-    Vn = x_src @ params["value"]["w"] + params["value"]["b"]
-    Sk = x_dst @ params["skip"]["w"] + params["skip"]["b"]
-    wk_pos = params["key"]["w"][:POS_DIM]
-    wv_pos = params["value"]["w"][:POS_DIM]
-    Pk = x_dst[:, :POS_DIM] @ wk_pos
-    Pv = x_dst[:, :POS_DIM] @ wv_pos
-
-    agg = fused_edge_stage(
-        Kn, Vn, Q, Pk, Pv,
-        x_src[:, :POS_DIM], x_dst[:, :POS_DIM],
-        nbr, edge_len, nbr_mask,
-        wk_pos, wv_pos, params["edge"]["w"],
-        params["l2"]["w"], params["l2"]["b"],
-        num_gates=G, out_channels=C, interpret=interpret,
-    )
-    return agg + Sk
+    return out[:Nd_in].astype(x_src.dtype)

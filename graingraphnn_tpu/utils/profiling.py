@@ -103,6 +103,41 @@ def roofline(time_s: float, flops: float, bytes_: float,
     }
 
 
+def slope_time(f, n1: int = 100, n2: int = 900, reps: int = 3) -> float:
+    """Device seconds per iteration of `f` (carry -> carry), measured as the
+    slope between two scan lengths inside single compiled programs.
+
+    On tunneled/remote accelerators a single dispatch carries tens of ms of
+    fixed launch overhead; naive timeit-style loops measure that overhead,
+    not the kernel (observed ~30 ms/launch on this environment's TPU). The
+    slope cancels it."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_rep(n):
+        @jax.jit
+        def rep(c0):
+            out, _ = jax.lax.scan(lambda c, _: (f(c), None), c0, jnp.arange(n))
+            return out
+
+        return rep
+
+    r1, r2 = make_rep(n1), make_rep(n2)
+    x0 = jnp.float32(1.0)
+    jax.block_until_ready(r1(x0))
+    jax.block_until_ready(r2(x0))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(r1(x0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(r2(x0))
+        t2 = time.perf_counter() - t0
+        ts.append((t2 - t1) / (n2 - n1))
+    return min(ts)
+
+
 def timeit(fn, *args, iters: int = 50) -> float:
     """Steady-state seconds per call (jax-blocking)."""
     import jax
