@@ -73,9 +73,17 @@ def build_striped(
     edge_weight_dicts: Dict[tuple, np.ndarray],
     mask_dicts: Dict[str, np.ndarray],
     D: int,
+    target_dicts: Dict[str, np.ndarray] | None = None,
+    *,
+    grain_cap: int | None = None,
+    joint_cap: int | None = None,
+    jj_cap: int | None = None,
 ) -> Tuple[state.GraphSample, StripeMeta]:
     """Stripe-major GraphSample with leading shard dim D. Neighbor indices
-    are remapped into the extended [left|local|right] source table."""
+    are remapped into the extended [left|local|right] source table.
+    `target_dicts` (same keys as state.build_sample: grain/joint/grain_event
+    node targets, edge_event labels on live jj edges in edge-list order)
+    are striped alongside the features so the sample is trainable."""
     gx = np.asarray(feature_dicts["grain"], np.float32)
     jx = np.asarray(feature_dicts["joint"], np.float32)
     gmask = np.asarray(mask_dicts["grain"], np.float32).reshape(-1)
@@ -87,8 +95,10 @@ def build_striped(
     j_order = np.argsort(j_stripe, kind="stable")
     g_sizes = [int((g_stripe == s).sum()) for s in range(D)]
     j_sizes = [int((j_stripe == s).sum()) for s in range(D)]
-    g_cap = state.round_up(max(g_sizes), 8)
-    j_cap = state.round_up(max(j_sizes), 8)
+    g_cap = grain_cap or state.round_up(max(g_sizes), 8)
+    j_cap = joint_cap or state.round_up(max(j_sizes), 8)
+    if g_cap < max(g_sizes) or j_cap < max(j_sizes):
+        raise ValueError("stripe capacity smaller than the largest stripe")
 
     # old index -> (stripe, slot)
     g_slot = np.zeros(len(gx), int)
@@ -168,28 +178,58 @@ def build_striped(
         pull_t, "joint", "grain", schema.DEFAULT_GRAIN_RING
     )
 
-    # jj COO sharded by dst stripe, endpoints in extended joint space
+    # jj COO sharded by dst stripe, endpoints in extended joint space;
+    # per-edge labels (live-edge order, graph_datastruct.py:898) ride along
+    tg = target_dicts or {}
+    ev_lab = np.asarray(tg.get("edge_event", ()), np.float32).reshape(-1)
     e = np.asarray(edge_index_dicts[connect_t])
     w = np.asarray(edge_weight_dicts[connect_t], np.float32).reshape(-1)
     per_stripe_edges = [[] for _ in range(D)]
+    live_i = 0
     for (s_old, d_old), wv in zip(e.T, w):
         if s_old < 0 or d_old < 0:
             continue
+        lab = ev_lab[live_i] if live_i < len(ev_lab) else schema.EDGE_EVENT_INVALID
+        live_i += 1
         st = j_stripe[d_old]
         per_stripe_edges[st].append(
-            (ext_index(s_old, "joint", st), ext_index(d_old, "joint", st), wv)
+            (ext_index(s_old, "joint", st), ext_index(d_old, "joint", st), wv, lab)
         )
-    jj_cap = state.round_up(max(len(p) for p in per_stripe_edges), 8)
+    jj_need = max(len(p) for p in per_stripe_edges)
+    jj_cap = jj_cap or state.round_up(jj_need, 8)
+    if jj_cap < jj_need:
+        raise ValueError("jj stripe capacity smaller than the largest stripe")
     jj_src = np.zeros((D, jj_cap), np.int32)
     jj_dst = np.zeros((D, jj_cap), np.int32)
     jj_len = np.zeros((D, jj_cap), np.float32)
     jj_mask = np.zeros((D, jj_cap), np.float32)
+    y_ee = np.full((D, jj_cap), float(schema.EDGE_EVENT_INVALID), np.float32)
     for s, rows in enumerate(per_stripe_edges):
-        for k, (a, b, wv) in enumerate(rows):
+        for k, (a, b, wv, lab) in enumerate(rows):
             jj_src[s, k] = a
             jj_dst[s, k] = b
             jj_len[s, k] = wv
             jj_mask[s, k] = 1.0
+            y_ee[s, k] = lab
+
+    def stripe_targets(key, order, sizes, cap, width):
+        arr = np.asarray(tg.get(key, ()), np.float32)
+        out = np.zeros((D, cap, width), np.float32) if width > 1 else np.zeros(
+            (D, cap), np.float32
+        )
+        if arr.size == 0:
+            return out
+        arr = arr.reshape(len(order), -1) if width > 1 else arr.reshape(-1)
+        pos = 0
+        for s in range(D):
+            n = sizes[s]
+            out[s, :n] = arr[order[pos : pos + n]]
+            pos += n
+        return out
+
+    y_grain = stripe_targets("grain", g_order, g_sizes, g_cap, 2)
+    y_joint = stripe_targets("joint", j_order, j_sizes, j_cap, 2)
+    y_gev = stripe_targets("grain_event", g_order, g_sizes, g_cap, 1)
 
     zeros = lambda *shape: np.zeros(shape, np.float32)
     sample = state.GraphSample(
@@ -203,10 +243,10 @@ def build_striped(
         pull_mask=jnp.asarray(pull_mask),
         jj_src=jnp.asarray(jj_src), jj_dst=jnp.asarray(jj_dst),
         jj_len=jnp.asarray(jj_len), jj_mask=jnp.asarray(jj_mask),
-        y_grain=jnp.asarray(zeros(D, g_cap, 2)),
-        y_joint=jnp.asarray(zeros(D, j_cap, 2)),
-        y_edge_event=jnp.asarray(zeros(D, jj_cap)),
-        y_grain_event=jnp.asarray(zeros(D, g_cap)),
+        y_grain=jnp.asarray(y_grain),
+        y_joint=jnp.asarray(y_joint),
+        y_edge_event=jnp.asarray(y_ee),
+        y_grain_event=jnp.asarray(y_gev),
         y_edge=jnp.asarray(zeros(D, jj_cap)),
         y_edge_mask=jnp.asarray(zeros(D, jj_cap)),
         # per-shard copies so every field has a leading D dim for shard_map
@@ -263,5 +303,81 @@ def make_halo_forward(
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), specs), out_specs=out_specs, check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_halo_train_step(hp: HyperParams, tx, mesh: Mesh, axis: str = "gp"):
+    """Training step over one halo-striped graph (counterpart of
+    partition.make_partitioned_train_step): each stripe computes its local
+    masked loss term with [left|local|right] source tables built by two
+    neighbor ppermutes, loss terms psum over the stripe axis, and the
+    replicated-param gradients psum in the same way. The ppermute
+    transposes itself in reverse mode, so boundary-node gradients flow back
+    to the owning stripe."""
+    import dataclasses
+
+    import optax
+
+    from ..train import loss as loss_mod
+
+    D = mesh.shape[axis]
+    fwd_perm = [(i, (i + 1) % D) for i in range(D)]
+    bwd_perm = [(i, (i - 1) % D) for i in range(D)]
+
+    def extend(xloc):
+        from_left = jax.lax.ppermute(xloc, axis, fwd_perm)
+        from_right = jax.lax.ppermute(xloc, axis, bwd_perm)
+        return jnp.concatenate([from_left, xloc, from_right], axis=0)
+
+    def src_gather(xg, xj):
+        return extend(xg), extend(xj)
+
+    def local_partial_loss(params, s):
+        """This shard's additive term of the global loss. No psum inside the
+        differentiated function: loss terms and gradients are both summed
+        once, outside (a psum inside grad replicates cotangents across
+        shards, and a second psum of the grads then overcounts by D)."""
+        if hp.model_type == "regressor":
+            pred = grain_nn.apply_regressor(
+                params, hp, s, src_gather=src_gather, node_gather=extend
+            )
+            jm = s.joint_mask[:, None]
+            gm = s.grain_mask[:, None]
+            j_sq = jnp.sum(jm * (s.y_joint - pred["joint"]) ** 2)
+            g_sq = jnp.sum(gm * (s.y_grain - pred["grain"]) ** 2)
+            return 100.0 * (
+                j_sq / (s.n_joint_rows * 2.0) + g_sq / (s.n_grain_rows * 2.0)
+            )
+        pred = grain_nn.apply_classifier(
+            params, hp, s, src_gather=src_gather, node_gather=extend
+        )
+        z = pred["edge_event"]
+        y = s.y_edge_event
+        valid = (y > -1.0).astype(z.dtype) * s.jj_mask
+        y01 = jnp.clip(y, 0.0, 1.0)
+        per_edge = (
+            hp.pos_weight * y01 * jax.nn.softplus(-z)
+            + (1.0 - y01) * jax.nn.softplus(z)
+        )
+        # global valid count is gradient-free (labels/masks only)
+        den = jnp.maximum(jax.lax.psum(jnp.sum(valid), axis), 1.0)
+        return jnp.sum(per_edge * valid) / jax.lax.stop_gradient(den)
+
+    def local_step(params, opt_state, sample):
+        sample = jax.tree_util.tree_map(lambda a: a[0], sample)
+        lval, grads = jax.value_and_grad(local_partial_loss)(params, sample)
+        lval = jax.lax.psum(lval, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, lval
+
+    n_fields = len(dataclasses.fields(state.GraphSample))
+    specs = state.GraphSample(*([P(axis)] * n_fields))
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), specs), out_specs=(P(), P(), P()),
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -103,7 +103,10 @@ def make_partitioned_train_step(hp: HyperParams, tx, mesh: Mesh, axis: str = "gp
 
     src_gather, node_gather = _gathers(axis)
 
-    def local_loss(params, sample):
+    def local_partial_loss(params, sample):
+        """This shard's additive term of the global loss. No psum inside the
+        differentiated function: a psum inside grad replicates cotangents
+        across shards, and the outer grad-psum then overcounts by D."""
         if hp.model_type == "regressor":
             pred = grain_nn.apply_regressor(
                 params, hp, sample, src_gather=src_gather, node_gather=node_gather
@@ -112,8 +115,6 @@ def make_partitioned_train_step(hp: HyperParams, tx, mesh: Mesh, axis: str = "gp
             gm = sample.grain_mask[:, None]
             j_sq = jnp.sum(jm * (sample.y_joint - pred["joint"]) ** 2)
             g_sq = jnp.sum(gm * (sample.y_grain - pred["grain"]) ** 2)
-            j_sq = jax.lax.psum(j_sq, axis)
-            g_sq = jax.lax.psum(g_sq, axis)
             return 100.0 * (
                 j_sq / (sample.n_joint_rows * 2.0) + g_sq / (sample.n_grain_rows * 2.0)
             )
@@ -125,16 +126,17 @@ def make_partitioned_train_step(hp: HyperParams, tx, mesh: Mesh, axis: str = "gp
         valid = (y > -1.0).astype(z.dtype) * sample.jj_mask
         y01 = jnp.clip(y, 0.0, 1.0)
         per_edge = hp.pos_weight * y01 * jax.nn.softplus(-z) + (1 - y01) * jax.nn.softplus(z)
-        num = jax.lax.psum(jnp.sum(per_edge * valid), axis)
+        # global valid count is gradient-free (labels/masks only)
         den = jnp.maximum(jax.lax.psum(jnp.sum(valid), axis), 1.0)
-        return num / den
+        return jnp.sum(per_edge * valid) / jax.lax.stop_gradient(den)
 
     def local_step(params, opt_state, sample):
         import optax
 
-        lval, grads = jax.value_and_grad(local_loss)(params, sample)
+        lval, grads = jax.value_and_grad(local_partial_loss)(params, sample)
         # params are replicated; each shard's grad is its partial
-        # contribution to the (psum'd) loss — psum reassembles the total
+        # contribution to the global loss — one psum reassembles the total
+        lval = jax.lax.psum(lval, axis)
         grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -160,15 +162,17 @@ def make_hybrid_train_step(
 
     src_gather, node_gather = _gathers(gp_axis)
 
-    def per_sample_loss(params, s):
+    def per_sample_partial_loss(params, s):
+        """This gp-shard's additive term of one sample's loss (no psum
+        inside grad — see make_partitioned_train_step)."""
         if hp.model_type == "regressor":
             pred = grain_nn.apply_regressor(
                 params, hp, s, src_gather=src_gather, node_gather=node_gather
             )
             jm = s.joint_mask[:, None]
             gm = s.grain_mask[:, None]
-            j_sq = jax.lax.psum(jnp.sum(jm * (s.y_joint - pred["joint"]) ** 2), gp_axis)
-            g_sq = jax.lax.psum(jnp.sum(gm * (s.y_grain - pred["grain"]) ** 2), gp_axis)
+            j_sq = jnp.sum(jm * (s.y_joint - pred["joint"]) ** 2)
+            g_sq = jnp.sum(gm * (s.y_grain - pred["grain"]) ** 2)
             return 100.0 * (
                 j_sq / (s.n_joint_rows * 2.0) + g_sq / (s.n_grain_rows * 2.0)
             )
@@ -183,20 +187,19 @@ def make_hybrid_train_step(
             hp.pos_weight * y01 * jax.nn.softplus(-z)
             + (1 - y01) * jax.nn.softplus(z)
         )
-        num = jax.lax.psum(jnp.sum(per_edge * valid), gp_axis)
         den = jnp.maximum(jax.lax.psum(jnp.sum(valid), gp_axis), 1.0)
-        return num / den
+        return jnp.sum(per_edge * valid) / jax.lax.stop_gradient(den)
 
     def local_step(params, opt_state, batch):
         def local_loss(p):
-            vals = jax.vmap(lambda s: per_sample_loss(p, s))(batch)
+            vals = jax.vmap(lambda s: per_sample_partial_loss(p, s))(batch)
             return jnp.mean(vals)
 
         lval, grads = jax.value_and_grad(local_loss)(params)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(jax.lax.psum(g, gp_axis), dp_axis), grads
         )
-        lval = jax.lax.pmean(lval, dp_axis)
+        lval = jax.lax.pmean(jax.lax.psum(lval, gp_axis), dp_axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, lval

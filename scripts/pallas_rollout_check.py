@@ -1,0 +1,108 @@
+"""Device-rollout A/B: fp32 XLA conv vs fused bf16 Pallas conv.
+
+Runs the fully device-resident rollout (rollout.device_rollout) on the real
+seed10020 40 um case twice — identical initial state, thresholds, and step
+count; only the conv implementation differs — and reports per-step grain
+events, switching counts, final live-node counts, state drift, and
+throughput. Decides whether the Pallas path preserves rollout QoIs well
+enough to be the bench default (bf16 forward noise must stay within the
+already-documented fp32 CPU-vs-TPU platform spread).
+
+Writes artifacts/pallas_rollout_ab.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from graingraphnn_tpu.data import extraction
+from graingraphnn_tpu.rollout import device_rollout as dr
+from graingraphnn_tpu.train import checkpoint
+
+N_STEPS = 20
+
+
+def run_variant(params_r, hp_r, params_c, hp_c, st0, c_thr, pallas):
+    import jax
+
+    run = dr.make_rollout_scan(
+        params_r, hp_r, params_c, hp_c,
+        n_steps=N_STEPS, c_threshold=c_thr, pallas=pallas,
+    )
+    st, aux = run(st0)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    st, aux = run(st0)
+    edges = float(np.asarray(aux["message_edges"]).sum())
+    dt = time.perf_counter() - t0
+    events = [
+        sorted(int(g) for g in row if g >= 0)
+        for row in np.asarray(aux["grain_events"])
+    ]
+    extra = [
+        sorted(int(g) for g in row if g >= 0)
+        for row in np.asarray(aux["extra_events"])
+    ]
+    sw = [int((row >= 0).sum()) for row in np.asarray(aux["switching"])[..., 0]]
+    return {
+        "state": st,
+        "events": events,
+        "extra": extra,
+        "switch_counts": sw,
+        "edges_per_s": edges / dt,
+        "live_grains": int(np.asarray(st.mask_g).sum()),
+        "live_joints": int(np.asarray(st.mask_j).sum()),
+    }
+
+
+def main():
+    import jax
+
+    traj = extraction.TrajectoryExtractor(lxd=40, seed=10020, frames=121)
+    traj.match_graph = False
+    traj.extract("/root/reference/rawdat_PF/40_40", cache_dir="/tmp/ggnn_cache")
+    hg0 = extraction.make_test_sample(traj, span=6)
+    st0 = dr.state_from_heterograph(hg0)
+
+    params_r, hp_r, _ = checkpoint.load("artifacts/40um/regressor0")
+    params_c, hp_c, extra = checkpoint.load("artifacts/40um/classifier1")
+    c_thr = float(extra.get("threshold", 0.6))
+
+    a = run_variant(params_r, hp_r, params_c, hp_c, st0, c_thr, pallas=False)
+    b = run_variant(params_r, hp_r, params_c, hp_c, st0, c_thr, pallas=True)
+
+    ev_a = set(g for row in a["events"] + a["extra"] for g in row)
+    ev_b = set(g for row in b["events"] + b["extra"] for g in row)
+    xg_a, xg_b = np.asarray(a["state"].xg), np.asarray(b["state"].xg)
+    mg = np.asarray(a["state"].mask_g) * np.asarray(b["state"].mask_g)
+    drift = float(np.abs((xg_a - xg_b))[mg > 0].max()) if mg.any() else 0.0
+
+    out = {
+        "device": str(jax.devices()[0].device_kind),
+        "n_steps": N_STEPS,
+        "c_threshold": c_thr,
+        "fp32": {k: a[k] for k in
+                 ("edges_per_s", "live_grains", "live_joints", "switch_counts")},
+        "pallas": {k: b[k] for k in
+                   ("edges_per_s", "live_grains", "live_joints", "switch_counts")},
+        "events_fp32": sorted(ev_a),
+        "events_pallas": sorted(ev_b),
+        "event_jaccard": len(ev_a & ev_b) / max(len(ev_a | ev_b), 1),
+        "events_only_fp32": sorted(ev_a - ev_b),
+        "events_only_pallas": sorted(ev_b - ev_a),
+        "final_xg_max_drift_live": drift,
+        "speedup": b["edges_per_s"] / a["edges_per_s"],
+    }
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/pallas_rollout_ab.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,58 @@ def test_halo_forward_matches_single_device(graph):
     np.testing.assert_allclose(grain, np.asarray(y_ref["grain"]), rtol=2e-5, atol=2e-5)
 
 
+def test_halo_train_step_matches_single_device(graph):
+    """Loss value and post-step params of the halo train step must match a
+    single-device step on the same graph (gradients flow back through the
+    ppermutes to the owning stripe)."""
+    import optax
+
+    from graingraphnn_tpu.train import loss as loss_mod
+
+    a = graph
+    hp = hyper.regressor(0, layer_size=8)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+
+    rng = np.random.default_rng(7)
+    ng = len(a["features"]["grain"])
+    nj = len(a["features"]["joint"])
+    targets = {
+        "grain": rng.normal(size=(ng, 2)).astype(np.float32) * 0.1,
+        "joint": rng.normal(size=(nj, 2)).astype(np.float32) * 0.1,
+    }
+
+    tx = optax.sgd(1e-2)
+
+    single = state.build_sample(
+        a["features"], a["edge_index"], a["edge_weight"], a["mask"], targets
+    )
+
+    def loss_fn(p):
+        return loss_mod.regressor_loss(grain_nn.apply_regressor(p, hp, single), single)
+
+    l_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    import optax as _ox
+
+    p_ref = _ox.apply_updates(params, updates)
+
+    D = 4
+    striped, _meta = halo.build_striped(
+        a["features"], a["edge_index"], a["edge_weight"], a["mask"], D, targets
+    )
+    mesh = mesh_mod.make_mesh([("gp", D)], n_devices=D)
+    step = halo.make_halo_train_step(hp, tx, mesh)
+    p_halo, _opt, l_halo = step(params, tx.init(params), striped)
+
+    np.testing.assert_allclose(float(l_halo), float(l_ref), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves(p_ref)
+    flat_halo = jax.tree_util.tree_leaves(p_halo)
+    for r, h in zip(flat_ref, flat_halo):
+        np.testing.assert_allclose(
+            np.asarray(h), np.asarray(r), rtol=2e-4, atol=2e-6
+        )
+
+
 def test_halo_rejects_too_many_stripes(graph):
     a = graph
     with pytest.raises(ValueError, match="non-adjacent"):

@@ -72,6 +72,39 @@ def test_dp_train_step_matches_single_device():
     assert float(l2b) < float(l2)
 
 
+def test_partitioned_train_step_grad_parity():
+    """SGD step on the partitioned graph must equal the single-device step
+    exactly (catches the D-times gradient overcount that 'loss decreases'
+    checks miss — Adam is invariant to constant gradient scaling)."""
+    from graingraphnn_tpu.train import loss as loss_mod
+
+    hp = hyper.regressor(0, layer_size=8)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    s = synthetic_sample(ng=16, nj=32, with_targets=True)
+    tx = optax.sgd(1.0)  # update == -grad
+
+    def loss_fn(p):
+        return loss_mod.regressor_loss(grain_nn.apply_regressor(p, hp, s), s)
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(params)
+
+    m = mesh_mod.make_mesh([("gp", 4)], n_devices=4)
+    step = partition.make_partitioned_train_step(hp, tx, m)
+    p2, _o, l2 = step(params, tx.init(params), s)
+
+    np.testing.assert_allclose(float(l2), float(l_ref), rtol=1e-5)
+    for (path, r), h in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a, b: a - b, params, p2)
+        ),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(h), np.asarray(r), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_partitioned_train_step_runs_and_learns():
     hp = hyper.regressor(0, layer_size=8)
     params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
