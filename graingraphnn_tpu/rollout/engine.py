@@ -67,40 +67,99 @@ class RolloutEngine:
         self.verbose = verbose
         self._fwd_cache = {}
 
-    def _jit_update(self, x, edges, pred, mask):
+    def _jit_update(self, x, edges, pred, mask, nucleation_prob=0.0,
+                    active_grains=None, active_joints=None):
         """Device-side topology update (rollout.topology_jit), matching the
-        host editor's semantics — nucleation-free path."""
+        host editor's semantics — incl. the moving-meltpool active window
+        and nucleation (as a second device pass, mirroring the host's
+        ordering at topology.py:154-158)."""
         from . import topology_jit as tj
 
+        nuc = nucleation_prob > 1e-6
+        NG, NJ = len(x["grain"]), len(x["joint"])
+        pad_g = tj.MAX_NUC if nuc else 0
+        pad_j = 2 * tj.MAX_NUC if nuc else 0
+
         E_base = edges["connect"]
-        slack = 2 * (tj.MAX_ELIM * 3 + tj.MAX_TWOSIDED + 2)
+        slack = 2 * (tj.MAX_ELIM * 3 + tj.MAX_TWOSIDED + 2) + 6 * pad_g
         # bucket the padded width so the jitted update recompiles only when
         # the live edge count crosses a 64-column boundary
         EP = state_mod.round_up(E_base.shape[1] + slack, 64)
         E_pp = np.full((2, EP), -1, np.int64)
         E_pp[:, : E_base.shape[1]] = E_base
+        EQ_base = edges["pull"].shape[1]
+        EQ = state_mod.round_up(EQ_base + 9 * pad_g, 64) if nuc else EQ_base
+        E_pq = np.full((2, EQ), -1, np.int64)
+        E_pq[:, :EQ_base] = edges["pull"]
+
+        def pad_rows(a, n, fill=0.0):
+            if n == 0:
+                return a
+            out = np.full((len(a) + n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        xj = pad_rows(np.asarray(x["joint"], np.float64), pad_j)
+        yj = pad_rows(np.asarray(pred["joint"], np.float64), pad_j)
+        active_j = None
+        if active_joints is not None:
+            active_j = jnp.asarray(pad_rows(np.asarray(active_joints), pad_j))
         state = tj.TopoState(
             E_pp=jnp.asarray(E_pp, jnp.int32),
-            E_pq=jnp.asarray(edges["pull"], jnp.int32),
-            xj=jnp.asarray(x["joint"], jnp.float32),
-            y_joint=jnp.asarray(pred["joint"], jnp.float32),
-            mask_g=jnp.asarray(mask["grain"][:, 0], jnp.int32),
-            mask_j=jnp.asarray(mask["joint"][:, 0], jnp.int32),
+            E_pq=jnp.asarray(E_pq, jnp.int32),
+            xj=jnp.asarray(xj, jnp.float32),
+            y_joint=jnp.asarray(yj, jnp.float32),
+            mask_g=jnp.asarray(pad_rows(mask["grain"][:, 0], pad_g), jnp.int32),
+            mask_j=jnp.asarray(pad_rows(mask["joint"][:, 0], pad_j), jnp.int32),
             append_ptr=jnp.asarray(E_base.shape[1], jnp.int32),
+            active_j=active_j,
+            q_ptr=jnp.asarray(EQ_base, jnp.int32) if nuc else None,
         )
         logits = np.full(EP, -1e30, np.float32)
         logits[: E_base.shape[1]] = pred["edge_event"]
         ge = np.full(tj.MAX_ELIM, -1, np.int32)
         ev = np.asarray(pred["grain_event"])[: tj.MAX_ELIM]
         ge[: len(ev)] = ev
+        active_g = None
+        if active_grains is not None:
+            active_g = jnp.asarray(pad_rows(np.asarray(active_grains), pad_g))
         state2, switching, extra = tj.update_jit(
             state,
             jnp.asarray(logits),
             jnp.asarray(ge),
             jnp.asarray(pred["grain"], jnp.float32),
             self.c_threshold,
-            len(x["grain"]),
+            NG,
+            active_g,
         )
+
+        # ---- nucleation pass: same RNG stream as the host editor ---------
+        if nuc:
+            rand = self.editor.rng.random(NJ)
+            mask_j_now = np.asarray(state2.mask_j)[:NJ]
+            n_sites = int(((rand < nucleation_prob) & (mask_j_now > 0)).sum())
+            angles = np.zeros((tj.MAX_NUC, 2))
+            if n_sites:
+                angles[:n_sites] = self.editor.rng.random(
+                    (min(n_sites, tj.MAX_NUC), 2)
+                )
+            xg = pad_rows(np.asarray(x["grain"], np.float64), pad_g)
+            state2, xg_out, n_g2, n_j2, _ = tj.nucleate_jit(
+                state2,
+                jnp.asarray(xg, jnp.float32),
+                jnp.asarray(NG, jnp.int32),
+                jnp.asarray(NJ, jnp.int32),
+                jnp.asarray(pad_rows(rand, pad_j, fill=1.0), jnp.float32),
+                jnp.asarray(angles, jnp.float32),
+                float(nucleation_prob),
+            )
+            n_g2, n_j2 = int(n_g2), int(n_j2)
+            x["grain"] = np.asarray(xg_out, np.float64)[:n_g2]
+            mask["grain"] = np.asarray(state2.mask_g)[:n_g2, None]
+        else:
+            n_g2, n_j2 = NG, NJ
+            mask["grain"][:, 0] = np.asarray(state2.mask_g)[:NG]
+
         # back to host layout: compact deleted slots (test-time arrays are
         # host-rebuilt each step anyway)
         E_pp2 = np.asarray(state2.E_pp)
@@ -110,9 +169,11 @@ class RolloutEngine:
             "pull": E_pq2[:, E_pq2[0] >= 0].astype(np.int64),
         }
         new_edges["push"] = new_edges["pull"][::-1].copy()
-        x["joint"] = np.asarray(state2.xj, np.float64)
-        mask["grain"][:, 0] = np.asarray(state2.mask_g)
-        mask["joint"][:, 0] = np.asarray(state2.mask_j)
+        x["joint"] = np.asarray(state2.xj, np.float64)[:n_j2]
+        if nuc:
+            mask["joint"] = np.asarray(state2.mask_j)[:n_j2, None]
+        else:
+            mask["joint"][:, 0] = np.asarray(state2.mask_j)[:NJ]
         switching = np.asarray(switching)
         switching = switching[switching[:, 0] >= 0]
         extra = np.asarray(extra)
@@ -436,9 +497,10 @@ class RolloutEngine:
                 # editor honors the active window (models.py:641-648,912)
                 cand = cand[active_grains[cand]]
                 pred["grain_event"] = cand
-            if self.jit_editor and nucleation_prob <= 1e-6 and melt is None:
+            if self.jit_editor:
                 x, edges, switching_list, extra_events = self._jit_update(
-                    x, edges, pred, mask
+                    x, edges, pred, mask, nucleation_prob=nucleation_prob,
+                    active_grains=active_grains, active_joints=active_joints,
                 )
             else:
                 x, edges, switching_list, extra_events = self.editor.update(
@@ -555,6 +617,8 @@ class RolloutEngine:
             "events_tp": grain_acc_list[-1][3],
             "events_truth": grain_acc_list[-1][1],
             "events_pred": grain_acc_list[-1][2],
+            "num_grains_final": len(x["grain"]),
+            "num_grains_live": int((mask["grain"][:, 0] > 0).sum()),
         }
         delta_h = (
             (final_height - traj.ini_height) / traj.mesh_size / (frames_total - 1) * span

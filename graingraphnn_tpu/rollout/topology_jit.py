@@ -39,6 +39,13 @@ class TopoState(NamedTuple):
     mask_g: jnp.ndarray  # [NG]
     mask_j: jnp.ndarray  # [NJ]
     append_ptr: jnp.ndarray  # scalar int32: next free E_pp column
+    # moving-meltpool active window (models.py:641-648,912): joints outside
+    # the window neither switch nor participate in eliminations. None = all
+    # active (nucleation-free static path — the common case).
+    active_j: jnp.ndarray | None = None
+    # next free E_pq column (nucleation appends 9 jg edges per event);
+    # None when the state has no E_pq slack columns.
+    q_ptr: jnp.ndarray | None = None
 
 
 def _wrap(p, pc):
@@ -94,6 +101,10 @@ def _switch_one(state: TopoState, e, events, pos, n_events, elim_grain):
     # guard values so gathers stay in range when invalid
     p1s = jnp.where(valid, p1, 0)
     p2s = jnp.where(valid, p2, 0)
+    if state.active_j is not None:
+        # meltpool window: skip switches touching an inactive joint
+        # (topology.TopologyEditor._switch_edges:231)
+        valid = valid & state.active_j[p1s] & state.active_j[p2s]
 
     # grain rings of both endpoints — one batched query
     qn_cond = E_pq[0][None, :] == jnp.stack([p1s, p2s])[:, None]   # [2, EQ]
@@ -324,7 +335,7 @@ MAX_EXTRA = 2 * MAX_ELIM * (RING_MAX + 1)
 _PAIRS = [(i, j) for i in range(RING_MAX) for j in range(i + 1, RING_MAX)]
 
 
-def _ring_collapse(state: TopoState, g, y_grain):
+def _ring_collapse(state: TopoState, g, y_grain, active_g=None):
     """Per-grain elimination: find the junction ring, pick the |ring|-2
     lowest-darea ring edges, switch them with elim_grain=g
     (models.py:638-690). Returns (state, ok, L2_events, n_l2, forces)."""
@@ -335,6 +346,16 @@ def _ring_collapse(state: TopoState, g, y_grain):
     ring_n = (E_pq[1] == gs).sum()
     ok = (g >= 0) & (ring_n > 0) & (ring_n <= RING_MAX)
     Np = E_pq[0][ring_idx]  # [RING_MAX], garbage beyond ring_n
+    if active_g is not None:
+        # meltpool window: grain and its whole junction ring must be active
+        # (topology.TopologyEditor.update:89-95)
+        ok = ok & active_g[gs]
+    if state.active_j is not None:
+        lane0 = jnp.arange(RING_MAX)
+        ring_active = jnp.where(
+            lane0 < ring_n, state.active_j[jnp.clip(Np, 0)], True
+        ).all()
+        ok = ok & ring_active
 
     ia = jnp.array([p[0] for p in _PAIRS])
     ib = jnp.array([p[1] for p in _PAIRS])
@@ -421,8 +442,11 @@ def update_jit(
     y_grain: jnp.ndarray,        # [NG, 2] regressor grain outputs
     threshold: float,
     num_grains: int,
+    active_g: jnp.ndarray | None = None,  # [NG] bool meltpool window, None = all
 ):
-    """Full device-side topology update (no nucleation). Returns
+    """Full device-side topology update. Nucleation (array growth) runs as a
+    separate pass afterwards — see nucleate_jit, mirroring the host editor's
+    ordering (topology.TopologyEditor.update:154-158). Returns
     (state, switching_edges [MAX_SWITCH, 2], extra_events [MAX_EXTRA])."""
     E_pp = state.E_pp
     EP = E_pp.shape[1]
@@ -453,7 +477,7 @@ def update_jit(
         # is a real branch on g >= 0: padded budget slots are free
         def do(carry):
             state, L1, extra, n_extra = carry
-            state, ok, L2, n_l2, forces = _ring_collapse(state, g, y_grain)
+            state, ok, L2, n_l2, forces = _ring_collapse(state, g, y_grain, active_g)
             extra, n_extra = put_extra(extra, n_extra, forces)
 
             def delete_all(state):
@@ -510,3 +534,164 @@ def update_jit(
     state, dropped = _two_sided_cleanup(state, num_grains)
     extra, n_extra = put_extra(extra, n_extra, dropped)
     return state, switching, extra
+
+
+# ---------------------------------------------------------------------------
+# nucleation (models.py:769-837) — device-side, fixed budget
+# ---------------------------------------------------------------------------
+
+MAX_NUC = 4        # nucleation budget per step (prob per joint is ~1e-4)
+NUC_AREA0 = 0.004
+
+
+def _unit(p, pc, eps=1e-6):
+    rel = p - pc
+    rel = rel - 1.0 * (rel > 0.5) + 1.0 * (rel < -0.5)
+    n = jnp.sqrt(jnp.sum(rel * rel))
+    return rel / jnp.maximum(n, eps)
+
+
+def _nucleate_one(state: TopoState, xg, n_g, n_j, junction, angles):
+    """Insert one grain + two junctions at a live junction site
+    (models.py:769-837 / topology.TopologyEditor._nucleate). The old
+    junction and the two new ones form a triangle around the nucleus;
+    the three old jg edges are redistributed so each new vertex borders
+    the two old grains it faces."""
+    E_pp, E_pq, xj = state.E_pp, state.E_pq, state.xj
+    EP, EQ = E_pp.shape[1], E_pq.shape[1]
+    NJ, NG = xj.shape[0], xg.shape[0]
+    valid = junction >= 0
+    jct = jnp.where(valid, junction, 0)
+
+    # three joint neighbors and three grain neighbors (ascending column
+    # order, as the host's boolean-mask indexing)
+    pn_idx = _nonzero(E_pp[0] == jct, 3, EP - 1)
+    j_nbrs = E_pp[1][pn_idx]
+    qn_idx = _nonzero(E_pq[0] == jct, 3, EQ - 1)
+    gns = E_pq[1][qn_idx]
+    valid = valid & ((E_pp[0] == jct).sum() == 3) & ((E_pq[0] == jct).sum() == 3)
+
+    # ordered[k] = the grain neighbor NOT bordering j_nbrs[k]; host keeps the
+    # last non-adjacent candidate (topology.py:363-371)
+    adj = jax.vmap(
+        lambda jn: jax.vmap(
+            lambda gn: ((E_pq[0] == jn) & (E_pq[1] == gn)).any()
+        )(gns)
+    )(j_nbrs)                                   # [3 j_nb, 3 gn]
+    sel = jnp.where(~adj, jnp.arange(3)[None, :], -1).max(axis=1)  # [3]
+    valid = valid & (sel >= 0).all()
+    ordered = gns[jnp.clip(sel, 0)]
+    gr0, gr1, gr2 = ordered[0], ordered[1], ordered[2]
+    valid = valid & (gr0 != gr1) & (gr1 != gr2) & (gr0 != gr2)
+
+    new_j1 = n_j
+    new_j2 = n_j + 1
+    site = xj[jct]
+    delta_z = site[-1]
+    theta = angles * (jnp.pi / 2)
+    edge_len = jnp.sqrt(NUC_AREA0 * 4.0 / 3.0 / jnp.sqrt(3.0))
+
+    grain_row = jnp.concatenate([
+        site[:3],
+        jnp.stack([
+            NUC_AREA0, 0.0,
+            jnp.cos(theta[0]), jnp.sin(theta[0]),
+            jnp.cos(theta[1]), jnp.sin(theta[1]),
+            NUC_AREA0, delta_z,
+        ]),
+    ]).astype(xg.dtype)
+    xg = xg.at[jnp.where(valid, n_g, NG)].set(grain_row, mode="drop")
+
+    # vertex triangle: old junction moves toward j_nb0; v1/v2 toward j_nb1/2
+    center = site[:2]
+    pos = jnp.stack([
+        center + _unit(xj[j_nbrs[0], :2], center) * edge_len,
+        center + _unit(xj[j_nbrs[1], :2], center) * edge_len,
+        center + _unit(xj[j_nbrs[2], :2], center) * edge_len,
+    ])
+    v_new = jnp.tile(site[None, :], (2, 1))
+    v_new = v_new.at[:, :2].set(pos[1:])
+    v_new = v_new.at[:, -2:].set(0.0)
+    jrows = jnp.where(valid, jnp.stack([new_j1, new_j2]), NJ)
+    xj = xj.at[jrows].set(v_new, mode="drop")
+    xj = xj.at[jnp.where(valid, jct, NJ), :2].set(pos[0], mode="drop")
+    xj = xj.at[jnp.where(valid, jct, NJ), -2:].set(0.0, mode="drop")
+
+    mask_j = state.mask_j.at[jrows].set(1, mode="drop")
+    mask_g = state.mask_g.at[jnp.where(valid, n_g, NG)].set(1, mode="drop")
+
+    # kill the three old jg edges of the junction
+    kill_q = E_pq[0] == jct
+    E_pq = jnp.where(valid & kill_q[None, :], -1, E_pq)
+
+    # rewire the jj edges to/from j_nb1 / j_nb2 (topology.py:387-390)
+    def rewire(E, row, cond, val):
+        col = _nonzero(cond, 1, EP - 1)[0]
+        return E.at[row, jnp.where(valid & cond.any(), col, EP)].set(
+            val, mode="drop"
+        )
+
+    E_pp = rewire(E_pp, 1, (E_pp[0] == j_nbrs[1]) & (E_pp[1] == jct), new_j1)
+    E_pp = rewire(E_pp, 1, (E_pp[0] == j_nbrs[2]) & (E_pp[1] == jct), new_j2)
+    E_pp = rewire(E_pp, 0, (E_pp[0] == jct) & (E_pp[1] == j_nbrs[1]), new_j1)
+    E_pp = rewire(E_pp, 0, (E_pp[0] == jct) & (E_pp[1] == j_nbrs[2]), new_j2)
+
+    # append the 6 triangle jj edges and the 9 jg edges
+    pp_new = jnp.stack([
+        jnp.stack([jct, jct, new_j1, new_j1, new_j2, new_j2]),
+        jnp.stack([new_j1, new_j2, jct, new_j2, jct, new_j1]),
+    ])
+    pp_cols = jnp.where(valid, state.append_ptr + jnp.arange(6), EP)
+    E_pp = E_pp.at[:, pp_cols].set(pp_new, mode="drop")
+
+    pq_new = jnp.stack([
+        jnp.stack([jct, new_j1, new_j2, new_j1, new_j2, jct, new_j2, jct, new_j1]),
+        jnp.stack([n_g, n_g, n_g, gr0, gr0, gr1, gr1, gr2, gr2]),
+    ])
+    pq_cols = jnp.where(valid, state.q_ptr + jnp.arange(9), EQ)
+    E_pq = E_pq.at[:, pq_cols].set(pq_new, mode="drop")
+
+    state = state._replace(
+        E_pp=E_pp, E_pq=E_pq, xj=xj, mask_g=mask_g, mask_j=mask_j,
+        append_ptr=jnp.where(valid, state.append_ptr + 6, state.append_ptr),
+        q_ptr=jnp.where(valid, state.q_ptr + 9, state.q_ptr),
+    )
+    n_g = jnp.where(valid, n_g + 1, n_g)
+    n_j = jnp.where(valid, n_j + 2, n_j)
+    return state, xg, n_g, n_j, valid
+
+
+@jax.jit
+def nucleate_jit(
+    state: TopoState,
+    xg: jnp.ndarray,        # [NGcap, 11] grain features (pad rows free)
+    n_g: jnp.ndarray,       # scalar int32: live grain count (next grain id)
+    n_j: jnp.ndarray,       # scalar int32: live joint count (next joint id)
+    rand_j: jnp.ndarray,    # [NJcap] uniform draws (pad rows >= 1.0)
+    angles: jnp.ndarray,    # [MAX_NUC, 2] uniform draws, consumed in site order
+    nucleation_prob: float,
+):
+    """Device-side nucleation pass (models.py:769-837). Requires state.q_ptr
+    set and >= 9*MAX_NUC slack E_pq columns, >= 6*MAX_NUC slack E_pp columns,
+    >= MAX_NUC free grain rows and >= 2*MAX_NUC free joint rows. Returns
+    (state, xg, n_g, n_j, n_nucleated)."""
+    sites = _nonzero(
+        (rand_j < nucleation_prob) & (state.mask_j > 0), MAX_NUC, -1
+    )
+    sites = jnp.where(sites >= 0, sites, -1)
+
+    def body(carry, inp):
+        st, xg, n_g, n_j = carry
+        site, ang = inp
+        st, xg, n_g, n_j, ok = jax.lax.cond(
+            site >= 0,
+            lambda s: _nucleate_one(*s),
+            lambda s: (s[0], s[1], s[2], s[3], jnp.asarray(False)),
+            (st, xg, n_g, n_j, site, ang),
+        )
+        return (st, xg, n_g, n_j), ok
+
+    (state, xg, n_g, n_j), oks = jax.lax.scan(
+        body, (state, xg, n_g, n_j), (sites, angles)
+    )
+    return state, xg, n_g, n_j, oks.sum()

@@ -25,6 +25,12 @@ parser.add_argument("--boundary", default="periodic", choices=["periodic", "nofl
 parser.add_argument("--growth_height", type=float, default=-1.0)
 parser.add_argument("--nucleation_density", type=float, default=0.0)
 parser.add_argument("--jit_editor", action="store_true")
+parser.add_argument("--meltpool", default="line", choices=["line", "cylinder"],
+                    help="cylinder = moving melt pool with a sliding active "
+                         "window (user_generate.py meltpool config)")
+parser.add_argument("--r0", type=float, default=0.8)
+parser.add_argument("--z0", type=float, default=0.4)
+parser.add_argument("--melt_pool_angle", type=float, default=np.pi / 4)
 parser.add_argument("--verbose", action="store_true")
 args = parser.parse_args()
 
@@ -61,9 +67,13 @@ engine = RolloutEngine(
     c_threshold=extra.get("threshold", 0.6), seed=args.seed,
     verbose=args.verbose, jit_editor=args.jit_editor,
 )
+meltpool = None
+if args.meltpool == "cylinder":
+    meltpool = {"r0": args.r0, "z0": args.z0,
+                "melt_pool_angle": args.melt_pool_angle}
 res = engine.run(
     hg0, traj, span=6, compare=False, growth_height=args.growth_height,
-    nucleation_density=args.nucleation_density,
+    nucleation_density=args.nucleation_density, meltpool=meltpool,
 )
 print(json.dumps({
     "boundary": traj.BC,

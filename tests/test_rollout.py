@@ -52,3 +52,43 @@ def test_rollout_jit_editor(models):
     eng = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.99, jit_editor=True)
     res = eng.run(hg0, traj, span=6, compare=False, growth_height=4.8)
     assert np.isfinite(res["misorientation"]).all()
+
+
+def test_rollout_jit_editor_nucleation(models):
+    """Generate-mode nucleation through the device-side editor: grains must
+    be inserted (same RNG stream as the host editor) and QoIs stay finite."""
+    rp, hp_r, cp, hp_c = models
+    density = 20.0  # per-joint prob ~ density*lxd^2*dz/NJ — high enough to fire
+
+    traj_h = make_traj("periodic")
+    n0 = len(traj_h.states[0].feature_dicts["grain"])
+    hg0 = extraction.make_test_sample(traj_h, span=6)
+    eng_h = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.99, seed=11)
+    res_h = eng_h.run(hg0, traj_h, span=6, compare=False, growth_height=4.8,
+                      nucleation_density=density, reconstruct=False)
+
+    traj_j = make_traj("periodic")
+    hg0 = extraction.make_test_sample(traj_j, span=6)
+    eng_j = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.99, seed=11,
+                          jit_editor=True)
+    res_j = eng_j.run(hg0, traj_j, span=6, compare=False, growth_height=4.8,
+                      nucleation_density=density, reconstruct=False)
+
+    # both paths nucleated (grain arrays grew) with the same RNG stream;
+    # positions drift (editor fp32 vs fp64) so counts may differ slightly
+    assert res_h["num_grains_final"] > n0
+    assert res_j["num_grains_final"] > n0
+    assert np.isfinite(res_j["misorientation"]).all()
+
+
+def test_rollout_jit_editor_meltpool(models):
+    """Moving-meltpool active window through the device-side editor."""
+    rp, hp_r, cp, hp_c = models
+    meltpool = {"r0": 0.8, "z0": 0.4, "melt_pool_angle": np.pi / 4}
+
+    traj = make_traj("periodic")
+    hg0 = extraction.make_test_sample(traj, span=6)
+    eng = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.99, jit_editor=True)
+    res = eng.run(hg0, traj, span=6, compare=False, meltpool=meltpool,
+                  reconstruct=False)
+    assert np.isfinite(res["misorientation"]).all()
