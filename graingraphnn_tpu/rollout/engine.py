@@ -400,6 +400,7 @@ class RolloutEngine:
             layer_err_list.append((traj.ini_height, pg.error_layer))
 
         grain_event_list: list = []
+        event_steps: list = []
         grain_acc_list = [(traj.ini_height, 0, 0, 0)]
         grain_events_truth = traj.grain_events if traj.grain_events else [set()] * frames_total
 
@@ -535,6 +536,13 @@ class RolloutEngine:
                 num_regions = len(x["grain"])
 
             grain_event_list.extend(int(g) for g in pred["grain_event"])
+            # calibration breakdown: area-triggered vs editor-forced events
+            event_steps.append({
+                "height": float(height),
+                "area_elim": int(len(cand)),
+                "forced_elim": int(len(extra_events)),
+                "switches": int(len(switching_list)),
+            })
             topo = len(pred["grain_event"]) > 0 or len(switching_list) > 0
 
             # <4> reconstruction + evaluation
@@ -619,6 +627,7 @@ class RolloutEngine:
             "events_pred": grain_acc_list[-1][2],
             "num_grains_final": len(x["grain"]),
             "num_grains_live": int((mask["grain"][:, 0] > 0).sum()),
+            "event_steps": event_steps,
         }
         delta_h = (
             (final_height - traj.ini_height) / traj.mesh_size / (frames_total - 1) * span

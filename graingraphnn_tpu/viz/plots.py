@@ -102,6 +102,59 @@ def misorientation(z, curves: Dict[str, Sequence[float]], path):
     return path
 
 
+def snapshot_grid(
+    fields: Sequence[np.ndarray],
+    path: str,
+    titles: Sequence[str] | None = None,
+    cmap: str = "coolwarm_r",
+):
+    """Grid of PF cross-section snapshots (plots/snapshots.py:23-62):
+    near-square row x col layout, imshow(u.T) per panel, no ticks, optional
+    per-panel titles. `fields` are [nx, ny] id/angle fields (e.g. h5
+    `cross_sec` planes or rollout alpha_field_list entries)."""
+    n = len(fields)
+    row = max(int(np.sqrt(n)), 1)
+    col = (n + row - 1) // row
+    fig, ax = plt.subplots(row, col, figsize=(10, 10), squeeze=False)
+    for k in range(row * col):
+        a = ax[k // col][k % col]
+        a.set_xticks([])
+        a.set_yticks([])
+        if k >= n:
+            a.axis("off")
+            continue
+        a.imshow(np.asarray(fields[k]).T, cmap=plt.get_cmap(cmap))
+        if titles is not None:
+            a.set_title(str(titles[k]), fontsize=6)
+    fig.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def snapshot_grid_from_h5(
+    h5_path: str,
+    path: str,
+    frames: Sequence[int],
+    var: str = "cross_sec",
+):
+    """Time-mode snapshot grid straight from a PF h5 (plots/snapshots.py
+    __main__, mode='time'): one panel per requested frame of `var`."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        fnx = len(np.asarray(f["x_coordinates"]))
+        fny = len(np.asarray(f["y_coordinates"]))
+        length = fnx * fny
+        data = np.asarray(f[var])
+        fields = [
+            data[t * length:(t + 1) * length].reshape((fnx, fny), order="F")[
+                1:-1, 1:-1
+            ]
+            for t in frames
+        ]
+    return snapshot_grid(fields, path, titles=[f"t={t}" for t in frames])
+
+
 def aggregate_event_stats(filenames: List[str]):
     """Aggregate (pred, truth) event counts encoded in result filenames
     (reference param_stat.py:12-23, pattern 'elimp<P>_t<T>')."""

@@ -53,8 +53,12 @@ class GrainVisual:
         self.height = height
         self.base_width = base_width
 
-    def _load_h5(self, rawdat_dir):
+    def _load_h5(self, rawdat_dir, cache_dir="./data_cache"):
         path = sorted(glob.glob(rawdat_dir + "/*seed" + str(self.seed) + "_*"))[0]
+        if path.endswith(".gz"):
+            from ..data.extraction import maybe_gunzip
+
+            path = maybe_gunzip(path, cache_dir)
         f = h5py.File(path, "r")
         x = np.asarray(f["x_coordinates"])
         angles = np.asarray(f["angles"])
@@ -74,6 +78,40 @@ class GrainVisual:
         vol = theta_z[alpha] / math.pi * 180
         out = out or f"{rawdat_dir}/seed{self.seed}.vtk"
         return write_vtk_structured_points(out, vol, spacing=(dx, dx, dx))
+
+    def reconstruct(
+        self,
+        rawdat_dir: str = "./",
+        span: int = 6,
+        alpha_field_list: Optional[Sequence[np.ndarray]] = None,
+        out: Optional[str] = None,
+    ):
+        """Stack the PF TRUTH cross-sections (h5 `cross_sec`, one plane per
+        frame) into a volume with the between-plane spacing set by the growth
+        per frame — the reference's `reconstruct` mode (pv_3Dview.py:85-148).
+        If `alpha_field_list` is given, stacks those fields instead (the
+        reference supports both from the same entry point)."""
+        f, path, x, theta_z = self._load_h5(rawdat_dir)
+        dx = x[1] - x[0]
+        fnx, fny = len(x), len(np.asarray(f["y_coordinates"]))
+        m = re.search(r"frames(\d+)", path)
+        data_frames = (int(m.group(1)) + 1) if m else 121
+
+        if alpha_field_list:
+            vol = np.stack(alpha_field_list, axis=2)
+        else:
+            vol = np.asarray(f["cross_sec"]).reshape(
+                (fnx, fny, data_frames), order="F"
+            )[1:-1, 1:-1, ::span]
+
+        dx_frame = (50 - self.base_width) / (data_frames - 1) * span
+        top_z = int(np.round((self.height - self.base_width) / dx_frame)) + 1
+        vol = vol[:, :, :top_z]
+        vol = theta_z[vol] / math.pi * 180
+        out = out or f"{rawdat_dir}/seed{self.seed}leapz.vtk"
+        return write_vtk_structured_points(
+            out, vol, spacing=(dx, dx, dx_frame)
+        )
 
     def graph_recon(
         self,

@@ -81,6 +81,30 @@ def test_rollout_jit_editor_nucleation(models):
     assert np.isfinite(res_j["misorientation"]).all()
 
 
+def test_ell_ring_growth():
+    """Regression for the 120um mid-rollout crash ('degree overflow: dst 155
+    has more than 16 neighbors'): as eliminations merge rings, a grain's
+    degree can exceed DEFAULT_GRAIN_RING; the engine sizes the ELL ring
+    capacity from the live degree distribution (engine._forward) in 8-wide
+    buckets. build_ell must hard-fail below the true degree and succeed at
+    the bucketed capacity."""
+    from graingraphnn_tpu.graph import schema, state
+
+    deg = schema.DEFAULT_GRAIN_RING + 2  # 18: one grain outgrows the default
+    src = np.arange(deg, dtype=np.int64)          # joints 0..17 -> grain 0
+    dst = np.zeros(deg, dtype=np.int64)
+    attr = np.ones(deg)
+
+    with pytest.raises(ValueError, match="degree overflow"):
+        state.build_ell(src, dst, attr, num_dst=4, max_deg=schema.DEFAULT_GRAIN_RING)
+
+    ring = max(schema.DEFAULT_GRAIN_RING, state.round_up(deg, 8))
+    assert ring == 24
+    nbr, length, mask = state.build_ell(src, dst, attr, num_dst=4, max_deg=ring)
+    assert mask[0].sum() == deg
+    np.testing.assert_array_equal(np.sort(nbr[0][mask[0] > 0]), src)
+
+
 def test_rollout_jit_editor_meltpool(models):
     """Moving-meltpool active window through the device-side editor."""
     rp, hp_r, cp, hp_c = models
