@@ -46,7 +46,7 @@ def _real_state(lxd: int, seed: int = 5):
     return dr.state_from_heterograph(hg0)
 
 
-def bench_rollout(lxd: int, n_steps: int = 20):
+def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False):
     import jax
 
     from graingraphnn_tpu.rollout import device_rollout as dr
@@ -56,14 +56,19 @@ def bench_rollout(lxd: int, n_steps: int = 20):
     params_c, hp_c, _ = checkpoint.load("artifacts/40um/classifier1")
     st = _real_state(lxd)
     run = dr.make_rollout_scan(
-        params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99
+        params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99,
+        pallas=pallas,
     )
-    st2, aux = run(st)  # compile + warmup
-    _ = float(np.asarray(aux["message_edges"]).sum())
-    t0 = time.perf_counter()
+    # warmup includes the aux device->host pull: the tunneled TPU pays a
+    # large one-time cost on a program's first D2H
     st2, aux = run(st)
-    edges = float(np.asarray(aux["message_edges"]).sum())  # forces completion
-    dt = time.perf_counter() - t0
+    edges = float(np.asarray(aux["message_edges"]).sum())
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st2, aux = run(st)
+        np.asarray(aux["message_edges"])  # forces completion
+        dt = min(dt, time.perf_counter() - t0)
     return edges / dt, dt / n_steps * 1e3
 
 
@@ -118,8 +123,9 @@ def bench_train():
 
 
 def main():
-    rollout_120, ms_120 = bench_rollout(120)
-    rollout_40, ms_40 = bench_rollout(40)
+    rollout_120, ms_120 = bench_rollout(120, pallas=True)
+    rollout_120_fp32, ms_120_fp32 = bench_rollout(120, pallas=False)
+    rollout_40, ms_40 = bench_rollout(40, pallas=True)
     train_eps = bench_train()
     print(
         json.dumps(
@@ -129,6 +135,9 @@ def main():
                 "unit": "edges/s",
                 "vs_baseline": round(rollout_120 / REFERENCE_ROLLOUT_EDGES_PER_S, 1),
                 "rollout_ms_per_step_120um": round(ms_120, 2),
+                "rollout_kernel": "pallas bf16 fused conv (fp32 softmax)",
+                "rollout_120um_fp32_edges_per_s": round(rollout_120_fp32, 1),
+                "rollout_ms_per_step_120um_fp32": round(ms_120_fp32, 2),
                 "rollout_40um_edges_per_s": round(rollout_40, 1),
                 "rollout_40um_vs_baseline": round(
                     rollout_40 / REFERENCE_ROLLOUT_EDGES_PER_S, 1

@@ -27,6 +27,15 @@ from graingraphnn_tpu.train import checkpoint
 N_STEPS = 20
 
 
+def _timed_call(run, st0):
+    import time as _t
+
+    t0 = _t.perf_counter()
+    st, aux = run(st0)
+    np.asarray(aux["message_edges"])
+    return _t.perf_counter() - t0
+
+
 def run_variant(params_r, hp_r, params_c, hp_c, st0, c_thr, pallas):
     import jax
 
@@ -34,12 +43,15 @@ def run_variant(params_r, hp_r, params_c, hp_c, st0, c_thr, pallas):
         params_r, hp_r, params_c, hp_c,
         n_steps=N_STEPS, c_threshold=c_thr, pallas=pallas,
     )
+    # warmup must include a device->host pull of aux: the tunneled TPU pays
+    # a large ONE-TIME cost on the first D2H of a program's outputs (measured
+    # 16-316 s), which previously landed inside whichever variant ran first
     st, aux = run(st0)
     jax.block_until_ready(st)
-    t0 = time.perf_counter()
-    st, aux = run(st0)
     edges = float(np.asarray(aux["message_edges"]).sum())
-    dt = time.perf_counter() - t0
+    dt = min(
+        _timed_call(run, st0) for _ in range(3)
+    )
     events = [
         sorted(int(g) for g in row if g >= 0)
         for row in np.asarray(aux["grain_events"])
