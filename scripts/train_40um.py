@@ -33,6 +33,10 @@ parser.add_argument("--lr_r", type=float, default=0.0, help="override regressor 
 parser.add_argument("--skip_classifier", action="store_true")
 parser.add_argument("--data", default="/root/repo/data_cache/graphs/train_seed10020.pkl")
 parser.add_argument("--out", default="/root/repo/data_cache/model")
+parser.add_argument("--history", action="store_true",
+                    help="ablation: temporal LSTM branch (models.py:385-390)")
+parser.add_argument("--edge_len", action="store_true",
+                    help="ablation: edge-length head (models.py:455-464)")
 args = parser.parse_args()
 
 if args.platform == "cpu":
@@ -90,9 +94,13 @@ os.makedirs(args.out, exist_ok=True)
 
 # ---- regressor --------------------------------------------------------------
 hp_r = hyper.regressor(0, epoch=args.epochs_r, decay_step=args.decay_r)
+import dataclasses
 if args.lr_r > 0:
-    import dataclasses
     hp_r = dataclasses.replace(hp_r, lr=args.lr_r)
+if args.history:
+    hp_r = dataclasses.replace(hp_r, history=True)
+if args.edge_len:
+    hp_r = dataclasses.replace(hp_r, edge_len=True)
 if args.skip_regressor:
     params_r, hp_r, _ = checkpoint.load(os.path.join(args.out, "regressor0"))
     print("loaded existing regressor", flush=True)
