@@ -37,6 +37,10 @@ parser.add_argument("--history", action="store_true",
                     help="ablation: temporal LSTM branch (models.py:385-390)")
 parser.add_argument("--edge_len", action="store_true",
                     help="ablation: edge-length head (models.py:455-464)")
+parser.add_argument("--scanned", action="store_true",
+                    help="device-resident scanned loop (one dispatch per "
+                         "epoch) — required for usable throughput on the "
+                         "tunneled TPU")
 args = parser.parse_args()
 
 if args.platform == "cpu":
@@ -111,7 +115,8 @@ else:
     else:
         params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
     t0 = time.time()
-    params_r, hist_r = trainer.train(hp_r, params_r, train_ds, valid_ds)
+    train_fn = trainer.train_scanned if args.scanned else trainer.train
+    params_r, hist_r = train_fn(hp_r, params_r, train_ds, valid_ds)
     print("regressor training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(os.path.join(args.out, "regressor0"), params_r, hp_r)
 
