@@ -72,21 +72,75 @@ def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False):
     return edges / dt, dt / n_steps * 1e3
 
 
+def _real_train_batch(batch_size: int, lxd: int = 40):
+    """Training batch over real Voronoi microstructures (generate mode) at
+    the 40 um training-patch scale — the real degree/edge-length
+    distribution, not a synthetic ring. Targets are random (they change the
+    loss value, not the step cost)."""
+    from graingraphnn_tpu.data import extraction, heterograph
+    from graingraphnn_tpu.graph import schema, state
+
+    rng = np.random.default_rng(0)
+    raws = []
+    for seed in range(1, batch_size + 1):
+        traj = extraction.TrajectoryExtractor(
+            lxd=lxd, seed=seed, frames=121, bc="periodic",
+            physical_params={"G": 4.0, "R": 1.0},
+        )
+        traj.area_counts = dict(
+            zip(*np.unique(traj.alpha_field, return_counts=True))
+        )
+        traj.area_traj.append(dict(traj.area_counts))
+        traj.states.append(heterograph.tensorize(traj, 0))
+        raws.append(extraction.make_test_sample(traj, span=6))
+    caps = [
+        (
+            r.feature_dicts["grain"].shape[0],
+            r.feature_dicts["joint"].shape[0],
+            int((r.edge_index_dicts[schema.EDGE_TYPES[2]][0] > -1).sum()),
+        )
+        for r in raws
+    ]
+    ng = state.round_up(max(c[0] for c in caps), 8)
+    nj = state.round_up(max(c[1] for c in caps), 8)
+    ne = state.round_up(max(c[2] for c in caps), 8)
+    samples = []
+    for r in raws:
+        n_jj = r.edge_index_dicts[schema.EDGE_TYPES[2]].shape[1]
+        targets = {
+            "grain": rng.uniform(-0.9, 0.9,
+                                 (r.feature_dicts["grain"].shape[0], 2)
+                                 ).astype(np.float32),
+            "joint": rng.uniform(-0.9, 0.9,
+                                 (r.feature_dicts["joint"].shape[0], 2)
+                                 ).astype(np.float32),
+            "grain_event": (
+                rng.uniform(size=r.feature_dicts["grain"].shape[0]) < 0.1
+            ).astype(np.float32),
+            "edge_event": rng.choice(
+                [-100.0, 0.0, 1.0], size=n_jj, p=[0.1, 0.8, 0.1]
+            ).astype(np.float32),
+        }
+        samples.append(
+            state.build_sample(
+                r.feature_dicts, r.edge_index_dicts, r.edge_weight_dicts,
+                {"grain": r.mask["grain"], "joint": r.mask["joint"]},
+                targets, grain_cap=ng, joint_cap=nj, jj_edge_cap=ne,
+            )
+        )
+    return state.stack(samples)
+
+
 def bench_train():
     import jax
     import optax
 
-    from __graft_entry__ import _synthetic_sample
     from graingraphnn_tpu.graph import state
     from graingraphnn_tpu.models import grain_nn, hyper
     from graingraphnn_tpu.train import trainer
 
-    BATCH, TRAIN_STEPS, ng, nj = 4, 50, 118, 236
-    samples = [
-        _synthetic_sample(ng=ng, nj=nj, seed=i, with_targets=True)
-        for i in range(BATCH)
-    ]
-    batch = state.stack(samples)
+    BATCH, TRAIN_STEPS = 4, 50
+    batch = _real_train_batch(BATCH)
     edges_per_sample = int(
         np.asarray(batch.push_mask).sum()
         + np.asarray(batch.pull_mask).sum()

@@ -54,6 +54,19 @@ class RolloutEngine:
         verbose: bool = False,
         jit_editor: bool = False,
     ):
+        # a list/tuple of param pytrees = an ensemble: members are stacked on
+        # a leading axis, the forward vmaps over it and averages predictions
+        # (post-nonlinearity mean — standard deep-ensemble inference)
+        self._ens_r = isinstance(reg_params, (list, tuple))
+        if self._ens_r:
+            reg_params = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *reg_params
+            )
+        self._ens_c = isinstance(cls_params, (list, tuple))
+        if self._ens_c:
+            cls_params = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *cls_params
+            )
         self.reg_params = reg_params
         self.hp_r = hp_r
         self.cls_params = cls_params
@@ -191,10 +204,25 @@ class RolloutEngine:
         key = caps
         if key not in self._fwd_cache:
             def fwd(sample):
-                return (
-                    grain_nn.apply_regressor(self.reg_params, self.hp_r, sample),
-                    grain_nn.apply_classifier(self.cls_params, self.hp_c, sample),
-                )
+                if self._ens_r:
+                    y_r = jax.tree_util.tree_map(
+                        lambda a: a.mean(axis=0),
+                        jax.vmap(
+                            lambda p: grain_nn.apply_regressor(p, self.hp_r, sample)
+                        )(self.reg_params),
+                    )
+                else:
+                    y_r = grain_nn.apply_regressor(self.reg_params, self.hp_r, sample)
+                if self._ens_c:
+                    y_c = jax.tree_util.tree_map(
+                        lambda a: a.mean(axis=0),
+                        jax.vmap(
+                            lambda p: grain_nn.apply_classifier(p, self.hp_c, sample)
+                        )(self.cls_params),
+                    )
+                else:
+                    y_c = grain_nn.apply_classifier(self.cls_params, self.hp_c, sample)
+                return (y_r, y_c)
             self._fwd_cache[key] = jax.jit(fwd)
 
         ng, nj, ne = caps
