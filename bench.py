@@ -46,6 +46,21 @@ def _real_state(lxd: int, seed: int = 5):
     return dr.state_from_heterograph(hg0)
 
 
+def _check_capacity(aux):
+    """Abort rather than report throughput on a corrupted graph: a tripped
+    ring/append-capacity flag means edges were silently dropped inside the
+    scan (device_rollout.build_ell_sorted / topology_jit appends)."""
+    for flag in ("ring_overflow", "pp_overflow"):
+        hits = np.asarray(aux[flag])
+        if bool(hits.any()):
+            step = int(np.argmax(hits))
+            raise RuntimeError(
+                f"rollout capacity bust: {flag} at scan step {step} — "
+                "raise `ring`/`pp_cap` instead of benchmarking a corrupted "
+                "graph"
+            )
+
+
 def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False):
     import jax
 
@@ -62,6 +77,7 @@ def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False):
     # warmup includes the aux device->host pull: the tunneled TPU pays a
     # large one-time cost on a program's first D2H
     st2, aux = run(st)
+    _check_capacity(aux)
     edges = float(np.asarray(aux["message_edges"]).sum())
     dt = float("inf")
     for _ in range(3):
@@ -105,8 +121,10 @@ def _real_train_batch(batch_size: int, lxd: int = 40):
     nj = state.round_up(max(c[1] for c in caps), 8)
     ne = state.round_up(max(c[2] for c in caps), 8)
     samples = []
-    for r in raws:
-        n_jj = r.edge_index_dicts[schema.EDGE_TYPES[2]].shape[1]
+    for r, cap in zip(raws, caps):
+        # label arrays must align with the LIVE-compacted edge list that
+        # build_sample produces (sentinel columns dropped before padding)
+        n_jj = cap[2]
         targets = {
             "grain": rng.uniform(-0.9, 0.9,
                                  (r.feature_dicts["grain"].shape[0], 2)

@@ -33,6 +33,13 @@ def main(argv=None):
     p.add_argument("--temporal", action="store_true")
     p.add_argument("--interp_frames", type=int, default=0)
     p.add_argument("--plot3D", dest="plot3d", action="store_true")
+    p.add_argument("--device_resident", action="store_true",
+                   help="run the zero-host-transfer device scan "
+                        "(rollout.device_driver): spans advance on device, "
+                        "QoIs pulled every --eval_every spans")
+    p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--pallas", action="store_true",
+                   help="device_resident only: fused bf16 Pallas convs")
     args = p.parse_args(argv)
 
     import jax
@@ -57,18 +64,35 @@ def main(argv=None):
     params_c, hp_c, extra = checkpoint.load(
         os.path.join(args.model_dir, f"classifier{args.classifier_id}")
     )
-    engine = RolloutEngine(
-        params_r, hp_r, params_c, hp_c,
-        c_threshold=args.c_threshold or extra.get("threshold", 0.6),
-        seed=args.seed, verbose=args.verbose, jit_editor=args.jit_editor,
-    )
-    res = engine.run(
-        hg0, traj, span=args.span or 6, compare=args.compare,
-        growth_height=args.growth_height,
-        nucleation_density=args.nucleation_density,
-        temporal=args.temporal, interp_frames=args.interp_frames,
-        collect_fields=args.plot3d,
-    )
+    c_threshold = args.c_threshold or extra.get("threshold", 0.6)
+    if args.device_resident:
+        if args.temporal or args.interp_frames or args.plot3d \
+                or args.nucleation_density > 0:
+            p.error("--device_resident covers the periodic static-meltpool "
+                    "rollout; temporal/interp/nucleation/plot3D stay on the "
+                    "host engine")
+        from ..rollout.device_driver import run_device_resident
+
+        res = run_device_resident(
+            hg0, traj, params_r, hp_r, params_c, hp_c,
+            span=args.span or 6, c_threshold=c_threshold,
+            eval_every=args.eval_every, compare=args.compare,
+            growth_height=args.growth_height, pallas=args.pallas,
+            verbose=args.verbose,
+        )
+    else:
+        engine = RolloutEngine(
+            params_r, hp_r, params_c, hp_c,
+            c_threshold=c_threshold,
+            seed=args.seed, verbose=args.verbose, jit_editor=args.jit_editor,
+        )
+        res = engine.run(
+            hg0, traj, span=args.span or 6, compare=args.compare,
+            growth_height=args.growth_height,
+            nucleation_density=args.nucleation_density,
+            temporal=args.temporal, interp_frames=args.interp_frames,
+            collect_fields=args.plot3d,
+        )
     if args.plot3d and res["alpha_field_list"]:
         from ..viz.volume import GrainVisual
 

@@ -1,0 +1,240 @@
+"""CLI driver for the device-resident rollout scan (reference loop:
+test.py:353-577, device counterpart of rollout.engine.run).
+
+The zero-host-transfer scan (rollout.device_rollout) previously existed only
+for bench.py and the tests; this module makes the flagship throughput path
+reachable from `cli.test --device_resident`: spans run on device in chunks
+of `eval_every`, and QoIs (planar reconstruction, layer error vs the PF
+truth, event accuracy, size-distribution KS) are pulled at that cadence —
+the raster stays on host, the dynamics never leave the chip.
+
+Capacity busts fail loudly: the scan's `ring_overflow` / `pp_overflow`
+flags (silently-dropped edges) raise instead of producing QoIs on a
+corrupted graph; `elim_saturated` (per-step elimination budget deferrals)
+is surfaced in the result.
+
+Scope matches device_rollout: periodic BC, nucleation-free, static melt
+pool. Patch rescaling for domains larger than the training patch
+(test.py:29-55,310-312) is applied on host before packing the state.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+from ..graph import schema
+from ..graph.planar import PlanarGraph
+from . import device_rollout as dr
+from .qoi import (
+    event_hit_rate,
+    misorientation_curve,
+    size_distribution_ks,
+    volume_graph,
+    volume_truth,
+)
+
+TRAIN_FRAMES = 120   # test.py:190
+TRAIN_DELTA_Z = 0.4  # test.py:191
+
+
+def run_device_resident(
+    hg0,
+    traj,
+    reg_params,
+    hp_r,
+    cls_params,
+    hp_c,
+    *,
+    span: int = 6,
+    r_threshold: float = 1e-4,
+    c_threshold: float = 0.6,
+    eval_every: int = 1,
+    compare: bool = True,
+    reconstruct: bool = True,
+    growth_height: float = -1.0,
+    reconst_mesh_size: float = 0.08,
+    pallas: bool = False,
+    verbose: bool = False,
+) -> Dict:
+    if traj.BC != "periodic":
+        raise ValueError("device-resident rollout covers periodic BC; "
+                         "use the host engine for noflux")
+
+    # ---- initialization (engine.run:282-324) -------------------------
+    x = {
+        "grain": np.array(hg0.feature_dicts["grain"], dtype=np.float64),
+        "joint": np.array(hg0.feature_dicts["joint"], dtype=np.float64),
+    }
+    edges = {
+        "pull": np.array(hg0.edge_index_dicts[schema.EDGE_TYPES[1]], np.int64),
+        "connect": np.array(hg0.edge_index_dicts[schema.EDGE_TYPES[2]], np.int64),
+    }
+    live = edges["connect"][0] > -1
+    edges["connect"] = edges["connect"][:, live]
+    mask = {
+        "grain": np.array(hg0.mask["grain"], np.int64).reshape(-1),
+        "joint": np.ones(len(x["joint"]), np.int64),
+    }
+
+    domain_factor = traj.lxd / traj.patch_size
+    offset_j = np.zeros((len(x["joint"]), 2))
+    if domain_factor > 1:
+        x["grain"][:, :2] *= domain_factor
+        x["joint"][:, :2] *= domain_factor
+        offset_j = np.floor(x["joint"][:, :2])
+        x["joint"][:, :2] -= offset_j
+        x["grain"][:, :2] -= x["grain"][:, :2] - x["grain"][:, :2] % 1
+
+    st = dr.init_device_state(
+        {k: v.astype(np.float32) for k, v in x.items()}, edges,
+        {"grain": mask["grain"], "joint": mask["joint"]},
+    )
+
+    pg = PlanarGraph(bc=traj.BC, imagesize=traj.imagesize)
+    pg.raise_err = False
+    num_regions = traj.num_regions
+    theta_z = np.array(traj.theta_z)
+    s_full = traj.patch_size / traj.mesh_size + 1
+    imagesize = (
+        (int(traj.lxd / reconst_mesh_size) + 1,
+         int(traj.lyd / reconst_mesh_size) + 1)
+        if reconstruct else (0, 0)
+    )
+
+    final_height = (traj.ini_height + growth_height if growth_height > 0
+                    else traj.final_height)
+    frames_total = int((final_height - traj.ini_height) / TRAIN_DELTA_Z) + 1
+    frame_ratio = getattr(traj, "train_test_frame_ratio", 1)
+    frames = list(range(span, frames_total, span))
+
+    area_traj = [dict(traj.area_traj[0])] if traj.area_traj else [{}]
+    extraV_traj = []
+    layer_err_list = []
+    grain_event_list: list = []
+    grain_acc_list = [(traj.ini_height, 0, 0, 0)]
+    events_truth_sets = traj.grain_events if traj.grain_events else [set()] * frames_total
+
+    def observe(state: dr.DeviceRolloutState, frame: int):
+        """Host-side reconstruction + QoIs from a pulled device state
+        (engine.gnn_update / graph_trajectory.GNN_update:1010-1103)."""
+        xg = np.asarray(state.xg, np.float64)
+        xj = np.asarray(state.xj, np.float64)
+        mg = np.asarray(state.mask_g)
+        mj = np.asarray(state.mask_j)
+        E_pq = np.asarray(state.E_pq)
+        E_pp = np.asarray(state.E_pp)
+
+        pos_j = xj[:, :2].copy()
+        if domain_factor > 1:
+            n = len(offset_j)
+            pos_j[:n] = (pos_j[:n] + offset_j) / domain_factor
+        pg.vertices = {
+            i: pos_j[i].tolist() for i in range(len(pos_j)) if mj[i] == 1
+        }
+        area_counts = {}
+        area_sum = np.sum(xg[:, 3] * mg) / (traj.lxd / traj.patch_size) ** 2
+        for idx in range(len(xg)):
+            if mg[idx] > 0:
+                area_counts[idx + 1] = xg[idx, 3] * s_full**2 / area_sum
+        extraV_traj.append(
+            mg * xg[:, 4] / schema.TARGET_SCALING["grain"] * s_full**3)
+        if frame > 0:
+            area_traj.append(area_counts)
+
+        v2j: Dict[int, set] = {}
+        live_q = E_pq[0] >= 0
+        for j, g in E_pq[:, live_q].T:
+            v2j.setdefault(int(j), set()).add(int(g) + 1)
+        pg.joint2vertex = {tuple(sorted(v)): k for k, v in v2j.items()}
+        pg.vertex2joint = {v: k for k, v in pg.joint2vertex.items()}
+        live_p = E_pp[0] >= 0
+        pg.edges = [[int(i), int(j)] for i, j in E_pp[:, live_p].T]
+        pg.rebuild_regions()
+        if reconstruct:
+            pg.rasterize(imagesize)
+        if compare:
+            t_idx = min(frame // frame_ratio,
+                        traj.alpha_pde_frames.shape[2] - 1)
+            pg.layer_error(traj.alpha_pde_frames[:, :, t_idx].T)
+            height = traj.ini_height + frame * TRAIN_DELTA_Z
+            layer_err_list.append((height, pg.error_layer))
+            if verbose:
+                print(f"frame {frame}: layer error {pg.error_layer:.4f}")
+
+    run_chunk = dr.make_rollout_scan(
+        reg_params, hp_r, cls_params, hp_c,
+        n_steps=eval_every, r_threshold=r_threshold,
+        c_threshold=c_threshold, span=span, pallas=pallas,
+    )
+
+    if compare:
+        pg0 = dr.DeviceRolloutState(
+            xg=st.xg, xj=st.xj, E_pp=st.E_pp, E_pq=st.E_pq,
+            mask_g=st.mask_g, mask_j=st.mask_j, n_pp=st.n_pp)
+        observe(pg0, 0)
+        layer_err_list[:] = [(traj.ini_height, layer_err_list[-1][1])]
+
+    t0 = time.time()
+    saturated_steps = 0
+    done = 0
+    while done < len(frames):
+        st, aux = run_chunk(st)
+        ge = np.asarray(aux["grain_events"])      # [chunk, MAX_ELIM]
+        extra = np.asarray(aux["extra_events"])   # [chunk, MAX_EXTRA]
+        for flag in ("ring_overflow", "pp_overflow"):
+            hits = np.asarray(aux[flag])
+            if bool(hits.any()):
+                raise RuntimeError(
+                    f"device rollout capacity bust: {flag} at step "
+                    f"{done + int(np.argmax(hits))} — raise ring/pp_cap")
+        saturated_steps += int(np.asarray(aux["elim_saturated"]).sum())
+
+        steps_here = min(eval_every, len(frames) - done)
+        for k in range(steps_here):
+            grain_event_list.extend(int(g) for g in ge[k] if g >= 0)
+            grain_event_list.extend(int(g) for g in extra[k] if g >= 0)
+        done += steps_here
+        frame = frames[done - 1]
+        observe(st, frame)
+
+        truth = set()
+        for s_ in events_truth_sets[: frame // frame_ratio + 1]:
+            truth |= set(s_)
+        truth = {int(i) - 1 for i in truth}
+        tp, n_truth, n_pred = event_hit_rate(set(grain_event_list), truth)
+        height = traj.ini_height + frame * TRAIN_DELTA_Z
+        grain_acc_list.append((height, n_truth, n_pred, tp))
+        if verbose:
+            print(f"frame {frame}: events {tp}/{n_truth} (pred {n_pred})")
+    elapsed = time.time() - t0
+
+    result = {
+        "inference_time": elapsed,
+        "grain_acc_list": grain_acc_list,
+        "layer_err_list": layer_err_list,
+        "final_layer_error": layer_err_list[-1][1] if layer_err_list else None,
+        "mean_layer_error": (float(np.mean([e for _, e in layer_err_list]))
+                             if layer_err_list else None),
+        "events_tp": grain_acc_list[-1][3],
+        "events_truth": grain_acc_list[-1][1],
+        "events_pred": grain_acc_list[-1][2],
+        "elim_saturated_steps": saturated_steps,
+        "num_grains_live": int(np.asarray(st.mask_g).sum()),
+    }
+    delta_h = ((final_height - traj.ini_height) / traj.mesh_size
+               / (frames_total - 1) * span * eval_every)
+    vol_pred = volume_graph(area_traj, extraV_traj, num_regions, delta_h)
+    result["misorientation"] = misorientation_curve(theta_z, vol_pred)
+    if compare and hasattr(traj, "totalV_frames"):
+        vol_truth = volume_truth(
+            traj.totalV_frames, traj.extraV_frames, span, frames_total,
+            traj.ini_height, final_height, traj.mesh_size,
+            traj.imagesize[0], frame_ratio,
+        )
+        ks, p, err_mu = size_distribution_ks(
+            vol_pred[-1], vol_truth[-1], traj.mesh_size)
+        result.update({"KS": ks, "KS_p": p, "size_err": err_mu})
+    return result

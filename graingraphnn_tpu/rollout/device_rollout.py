@@ -196,6 +196,7 @@ def device_step(
     # ascending predicted area (test.py:409-414)
     key = jnp.where((state.mask_g > 0) & (area < r_threshold), area, jnp.inf)
     order = jnp.argsort(key)
+    n_cand = jnp.isfinite(key).sum()
     ge = jnp.where(
         jnp.isfinite(key[order]), order.astype(jnp.int32), -1
     )[: tj.MAX_ELIM]
@@ -247,6 +248,12 @@ def device_step(
         + sample.pull_mask.sum()
         + sample.connect_mask.sum(),
         "ring_overflow": overflow,
+        # editor appends write with mode="drop"; a cursor past capacity means
+        # columns were silently dropped — callers MUST fail on this flag
+        "pp_overflow": tstate.append_ptr > state.E_pp.shape[1],
+        # candidates beyond the per-step elimination budget are deferred to
+        # the next span (they keep shrinking); surfaced for diagnostics
+        "elim_saturated": n_cand > tj.MAX_ELIM,
     }
     return new_state, aux
 

@@ -55,8 +55,12 @@ class RolloutEngine:
         jit_editor: bool = False,
     ):
         # a list/tuple of param pytrees = an ensemble: members are stacked on
-        # a leading axis, the forward vmaps over it and averages predictions
-        # (post-nonlinearity mean — standard deep-ensemble inference)
+        # a leading axis, the forward vmaps over it and averages predictions.
+        # Regressor outputs are post-nonlinearity (tanh/relu), so their mean
+        # is a standard deep-ensemble mean. The classifier's edge_event is a
+        # LOGIT (grain_nn.apply_classifier), sigmoided only downstream
+        # (topology.py) — it is averaged in probability space and converted
+        # back to a logit so c_threshold keeps its single-model calibration.
         self._ens_r = isinstance(reg_params, (list, tuple))
         if self._ens_r:
             reg_params = jax.tree_util.tree_map(
@@ -214,12 +218,15 @@ class RolloutEngine:
                 else:
                     y_r = grain_nn.apply_regressor(self.reg_params, self.hp_r, sample)
                 if self._ens_c:
+                    def cfwd(p):
+                        y = grain_nn.apply_classifier(p, self.hp_c, sample)
+                        return {**y, "edge_event": jax.nn.sigmoid(y["edge_event"])}
+
                     y_c = jax.tree_util.tree_map(
-                        lambda a: a.mean(axis=0),
-                        jax.vmap(
-                            lambda p: grain_nn.apply_classifier(p, self.hp_c, sample)
-                        )(self.cls_params),
+                        lambda a: a.mean(axis=0), jax.vmap(cfwd)(self.cls_params)
                     )
+                    pm = jnp.clip(y_c["edge_event"], 1e-7, 1.0 - 1e-7)
+                    y_c = {**y_c, "edge_event": jnp.log(pm) - jnp.log1p(-pm)}
                 else:
                     y_c = grain_nn.apply_classifier(self.cls_params, self.hp_c, sample)
                 return (y_r, y_c)

@@ -215,13 +215,11 @@ class TopologyEditor:
         if len(edge_list) == 0:
             return force_elim
         pairs = np.unique(E_pp.T[np.asarray(edge_list, dtype=np.int64)].reshape(-1))
-        save_prev = {}
         xj = x["joint"]
         yj = np.asarray(y["joint"])
         for p in pairs:
             p = int(p)
             xj[p, :2] -= yj[p] / JOINT_SCALE
-            save_prev[p] = xj[p, :2].copy()
 
         for index in range(len(edge_list)):
             e = edge_list[index]
@@ -321,10 +319,17 @@ class TopologyEditor:
             E_pp[1, (E_pp[0] == sq1_p2) & (E_pp[1] == p2)] = p1
             E_pp[1, (E_pp[0] == sq2_p1) & (E_pp[1] == p1)] = p2
 
+        # models.py:906-908,1048-1050: the reference's save_prev binds a
+        # torch VIEW of the joint row, so its displacement rewrite
+        # y = scale*(x - save_prev) is identically ZERO for every junction in
+        # `pairs` — touched junctions leave the call with y == 0 and zeroed
+        # grad features. Verified empirically (torch basic indexing returns
+        # views); scripts/ab_stepwise.py isolated this as the only
+        # cross-implementation divergence on seed10020.
         for p in pairs:
             p = int(p)
-            yj[p] = JOINT_SCALE * (xj[p, :2] - save_prev[p])
-            xj[p, 6:8] = yj[p]
+            yj[p] = 0.0
+            xj[p, 6:8] = 0.0
         y["joint"] = yj
         return force_elim
 

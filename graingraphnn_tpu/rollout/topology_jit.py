@@ -242,10 +242,9 @@ def switch_events(state: TopoState, events: jnp.ndarray, n_events, elim_grain):
     touched = touched.at[jnp.where(vb >= 0, vb, NJ)].set(True, mode="drop")
 
     xj = state.xj
-    save_prev = xj[:, :2] - jnp.where(
-        touched[:, None], state.y_joint / JOINT_SCALE, 0.0
+    xj = xj.at[:, :2].add(
+        jnp.where(touched[:, None], -state.y_joint / JOINT_SCALE, 0.0)
     )
-    xj = xj.at[:, :2].set(save_prev)
     state = state._replace(xj=xj)
 
     def body(carry, i):
@@ -266,14 +265,13 @@ def switch_events(state: TopoState, events: jnp.ndarray, n_events, elim_grain):
         body, state, jnp.arange(events.shape[0])
     )
 
-    # displacement/grad rewrite (:1048-1050)
-    new_y = jnp.where(
-        touched[:, None],
-        JOINT_SCALE * (state.xj[:, :2] - save_prev),
-        state.y_joint,
-    )
+    # displacement/grad rewrite (:1048-1050): the reference's save_prev is a
+    # torch VIEW of the mutated row, so scale*(x - save_prev) is identically
+    # ZERO — touched junctions leave with y == 0 and zeroed grad features
+    # (see rollout.topology._switch_edges and scripts/ab_stepwise.py)
+    new_y = jnp.where(touched[:, None], 0.0, state.y_joint)
     xj = state.xj
-    xj = xj.at[:, 6:8].set(jnp.where(touched[:, None], new_y, xj[:, 6:8]))
+    xj = xj.at[:, 6:8].set(jnp.where(touched[:, None], 0.0, xj[:, 6:8]))
     return state._replace(xj=xj, y_joint=new_y), forces.reshape(-1)
 
 

@@ -23,6 +23,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)
 
 
 def prepare(seed: int, workdir: str):

@@ -83,7 +83,10 @@ def test_ensemble_forward_is_member_mean():
     )
 
 
-def test_classifier_ensemble_is_logit_mean():
+def test_classifier_ensemble_averages_probabilities():
+    """edge_event is a logit; the ensemble must average member
+    PROBABILITIES (then re-logit) so c_threshold keeps its single-model
+    probability calibration (ADVICE round-2 medium)."""
     hp_r = hyper.regressor(0, layer_size=16)
     hp_c = hyper.classifier_transfered(1, layer_size=16)
     params_r = grain_nn.init_regressor(jax.random.PRNGKey(0), hp_r)
@@ -109,7 +112,16 @@ def test_classifier_ensemble_is_logit_mean():
 
     yc_ens = forward(cls_members)
     singles = [forward(c) for c in cls_members]
-    mean = np.mean([np.asarray(s["edge_event"]) for s in singles], axis=0)
+    probs = [1.0 / (1.0 + np.exp(-np.asarray(s["edge_event"], np.float64)))
+             for s in singles]
+    pm = np.clip(np.mean(probs, axis=0), 1e-7, 1.0 - 1e-7)
+    expected_logit = np.log(pm) - np.log1p(-pm)
     np.testing.assert_allclose(
-        np.asarray(yc_ens["edge_event"]), mean, rtol=1e-5, atol=1e-6
+        np.asarray(yc_ens["edge_event"], np.float64), expected_logit,
+        rtol=1e-4, atol=1e-5,
+    )
+    # non-edge_event outputs stay plain means
+    mean_edge = np.mean([np.asarray(s["edge"]) for s in singles], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(yc_ens["edge"]), mean_edge, rtol=1e-5, atol=1e-6
     )

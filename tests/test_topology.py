@@ -103,8 +103,10 @@ def test_neighbor_switching_preserves_invariants():
     assert len(switching) == 1
     check_invariants(edges2, mask)
     # the switched pair moved to their periodic midpoint and gradients were
-    # rewritten (models.py:1048-1050)
-    assert not np.allclose(x2["joint"][p1, 6:8], 0.0)
+    # ZEROED: the reference's rewrite (models.py:1048-1050) computes
+    # x - save_prev through an aliased torch view, which is identically 0
+    assert np.allclose(x2["joint"][p1, 6:8], 0.0)
+    assert np.allclose(x2["joint"][p2, 6:8], 0.0)
 
 
 def test_grain_elimination_preserves_invariants():
