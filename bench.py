@@ -31,9 +31,13 @@ REFERENCE_ROLLOUT_EDGES_PER_S = 21 * 2124 / 16.89             # ≈ 2,640
 
 def _real_state(lxd: int, seed: int = 5):
     """Real Voronoi microstructure (generate mode, periodic BC) packed into
-    a device rollout state."""
+    a device rollout state, with the patch rescale applied for domains
+    larger than the 40 um training patch (test.py:29-55,310-312) — the
+    physically-correct inference configuration. Round 2's bench skipped the
+    rescale at 120 um, which pushed the features out of distribution and
+    saturated the editor's event budgets every step."""
     from graingraphnn_tpu.data import extraction, heterograph
-    from graingraphnn_tpu.rollout import device_rollout as dr
+    from graingraphnn_tpu.rollout import device_driver as dd
 
     traj = extraction.TrajectoryExtractor(
         lxd=lxd, seed=seed, frames=121, bc="periodic",
@@ -43,7 +47,8 @@ def _real_state(lxd: int, seed: int = 5):
     traj.area_traj.append(dict(traj.area_counts))
     traj.states.append(heterograph.tensorize(traj, 0))
     hg0 = extraction.make_test_sample(traj, span=6)
-    return dr.state_from_heterograph(hg0)
+    st, _offset, _factor = dd.init_scaled_state(hg0, traj)
+    return st
 
 
 def _check_capacity(aux):
@@ -84,6 +89,35 @@ def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False):
         t0 = time.perf_counter()
         st2, aux = run(st)
         np.asarray(aux["message_edges"])  # forces completion
+        dt = min(dt, time.perf_counter() - t0)
+    return edges / dt, dt / n_steps * 1e3
+
+
+def bench_rollout_batched(lxd: int, B: int = 8, n_steps: int = 20,
+                          pallas: bool = False):
+    """B independent rollouts advanced together by one vmapped scan — the
+    chip-filling configuration (one 2086-node graph leaves the MXU mostly
+    idle; the reference evaluates whole G,R grids of seeds serially,
+    plots/test_grid.py)."""
+    from graingraphnn_tpu.rollout import device_rollout as dr
+    from graingraphnn_tpu.train import checkpoint
+
+    params_r, hp_r, _ = checkpoint.load("artifacts/40um/regressor0")
+    params_c, hp_c, _ = checkpoint.load("artifacts/40um/classifier1")
+    states = [_real_state(lxd, seed=5 + i) for i in range(B)]
+    st = dr.stack_states(states)
+    run = dr.make_rollout_scan_batched(
+        params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99,
+        pallas=pallas,
+    )
+    st2, aux = run(st)
+    _check_capacity(aux)
+    edges = float(np.asarray(aux["message_edges"]).sum())
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st2, aux = run(st)
+        np.asarray(aux["message_edges"])
         dt = min(dt, time.perf_counter() - t0)
     return edges / dt, dt / n_steps * 1e3
 

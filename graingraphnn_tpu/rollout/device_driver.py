@@ -40,30 +40,12 @@ TRAIN_FRAMES = 120   # test.py:190
 TRAIN_DELTA_Z = 0.4  # test.py:191
 
 
-def run_device_resident(
-    hg0,
-    traj,
-    reg_params,
-    hp_r,
-    cls_params,
-    hp_c,
-    *,
-    span: int = 6,
-    r_threshold: float = 1e-4,
-    c_threshold: float = 0.6,
-    eval_every: int = 1,
-    compare: bool = True,
-    reconstruct: bool = True,
-    growth_height: float = -1.0,
-    reconst_mesh_size: float = 0.08,
-    pallas: bool = False,
-    verbose: bool = False,
-) -> Dict:
-    if traj.BC != "periodic":
-        raise ValueError("device-resident rollout covers periodic BC; "
-                         "use the host engine for noflux")
-
-    # ---- initialization (engine.run:282-324) -------------------------
+def init_scaled_state(hg0, traj, *, pp_cap=None):
+    """Patch-rescaled device state from a test-mode HeteroState
+    (engine.run:282-324 / test.py:29-55,310-312): for domains larger than
+    the 40 um training patch, local geometry is scaled to the training
+    distribution with per-joint offsets kept for reconstruction in global
+    coordinates. Returns (state, offset_j, domain_factor)."""
     x = {
         "grain": np.array(hg0.feature_dicts["grain"], dtype=np.float64),
         "joint": np.array(hg0.feature_dicts["joint"], dtype=np.float64),
@@ -90,8 +72,34 @@ def run_device_resident(
 
     st = dr.init_device_state(
         {k: v.astype(np.float32) for k, v in x.items()}, edges,
-        {"grain": mask["grain"], "joint": mask["joint"]},
+        {"grain": mask["grain"], "joint": mask["joint"]}, pp_cap=pp_cap,
     )
+    return st, offset_j, domain_factor
+
+
+def run_device_resident(
+    hg0,
+    traj,
+    reg_params,
+    hp_r,
+    cls_params,
+    hp_c,
+    *,
+    span: int = 6,
+    r_threshold: float = 1e-4,
+    c_threshold: float = 0.6,
+    eval_every: int = 1,
+    compare: bool = True,
+    reconstruct: bool = True,
+    growth_height: float = -1.0,
+    reconst_mesh_size: float = 0.08,
+    pallas: bool = False,
+    verbose: bool = False,
+) -> Dict:
+    if traj.BC != "periodic":
+        raise ValueError("device-resident rollout covers periodic BC; "
+                         "use the host engine for noflux")
+    st, offset_j, domain_factor = init_scaled_state(hg0, traj)
 
     pg = PlanarGraph(bc=traj.BC, imagesize=traj.imagesize)
     pg.raise_err = False

@@ -155,29 +155,18 @@ def make_sample(state: DeviceRolloutState, ring: int = tj.RING_MAX):
     return sample, overflow
 
 
-def device_step(
-    reg_params, hp_r, cls_params, hp_c,
-    state: DeviceRolloutState,
-    *,
-    r_threshold: float = 1e-4,   # test.py:187
-    c_threshold: float = 0.6,    # test.py:188
-    span: int = 6,
-    ring: int = tj.RING_MAX,
-) -> tuple[DeviceRolloutState, Dict]:
-    """One rollout span advance, fully traced (steps <1>-<5> of
-    rollout.engine.run). Returns (next_state, aux) where aux carries the
-    per-step event ids, message-edge count, and the ring-overflow flag."""
-    NG = state.xg.shape[0]
+def forward_stage(reg_params, hp_r, cls_params, hp_c, state, ring):
+    """<1> ELL rebuild + model forwards. Returns (sample, y_r, y_c,
+    ring_overflow)."""
     sample, overflow = make_sample(state, ring)
-
-    # <1> forward
     y_r = grain_nn.apply_regressor(reg_params, hp_r, sample)
     y_c = grain_nn.apply_classifier(cls_params, hp_c, sample)
-    pred_j = y_r["joint"]
-    pred_g = y_r["grain"]
-    area = y_r["grain_area"]
+    return sample, y_r, y_c, overflow
 
-    # <2> feature integration (models.py:510-516) + z advance (test.py:401-407)
+
+def integrate_stage(state, pred_j, pred_g, span):
+    """<2> feature integration (models.py:510-516) + z advance
+    (test.py:401-407). Returns (xg, xj)."""
     xg, xj = state.xg, state.xj
     xj = xj.at[:, :2].add(pred_j / schema.TARGET_SCALING["joint"])
     xg = xg.at[:, schema.GRAIN_AREA_COL].add(
@@ -191,40 +180,49 @@ def device_step(
     clamp = (xg[0, 2] + dz) > zmax
     xg = xg.at[:, 2].set(jnp.where(clamp, zmax, xg[:, 2] + dz))
     xj = xj.at[:, 2].set(jnp.where(clamp, zmax, xj[:, 2] + dz))
+    return xg, xj
 
-    # <3a> elimination candidates: live grains under the area threshold,
-    # ascending predicted area (test.py:409-414)
+
+def elim_candidates(state, area, r_threshold):
+    """<3a> live grains under the area threshold, ascending predicted area
+    (test.py:409-414). Returns (ge [MAX_ELIM], n_candidates)."""
     key = jnp.where((state.mask_g > 0) & (area < r_threshold), area, jnp.inf)
     order = jnp.argsort(key)
     n_cand = jnp.isfinite(key).sum()
     ge = jnp.where(
         jnp.isfinite(key[order]), order.astype(jnp.int32), -1
     )[: tj.MAX_ELIM]
+    return ge, n_cand
 
-    # <3b> jit topology editor
+
+def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold):
+    """<3b> jit topology editor. Returns (tstate, switching, extra)."""
     jj_live = state.E_pp[0] >= 0
-    logits = jnp.where(jj_live, y_c["edge_event"], NEG)
+    logits = jnp.where(jj_live, edge_logits, NEG)
     tstate = tj.TopoState(
         E_pp=state.E_pp, E_pq=state.E_pq, xj=xj, y_joint=pred_j,
         mask_g=state.mask_g, mask_j=state.mask_j, append_ptr=state.n_pp,
     )
-    tstate, switching, extra = tj.update_jit(
-        tstate, logits, ge, pred_g, c_threshold, NG
+    return tj.update_jit(
+        tstate, logits, ge, pred_g, c_threshold, xg.shape[0]
     )
-    xj = tstate.xj
 
-    # compact E_pp so the append cursor never outgrows the fixed capacity
-    # (the host engine drops dead columns each step, engine.py:106-112)
-    livec = tstate.E_pp[0] >= 0
+
+def compact_stage(E_pp_in):
+    """Compact E_pp so the append cursor never outgrows the fixed capacity
+    (the host engine drops dead columns each step, engine.py:106-112).
+    Returns (E_pp, n_pp)."""
+    livec = E_pp_in[0] >= 0
     ordc = jnp.argsort(~livec, stable=True)
-    E_pp = tstate.E_pp[:, ordc]
-    n_pp = livec.sum().astype(jnp.int32)
+    return E_pp_in[:, ordc], livec.sum().astype(jnp.int32)
 
-    # <5> grain centers from the post-edit junction rings (test.py:556-559;
-    # see module docstring for the wrap-invariant deviation)
+
+def centers_stage(xg, xj, E_pq, ring):
+    """<5> grain centers from the post-edit junction rings (test.py:556-559;
+    see module docstring for the wrap-invariant deviation)."""
+    NG = xg.shape[0]
     nbr, _len, rmask, _ = build_ell_sorted(
-        tstate.E_pq[0], tstate.E_pq[1],
-        jnp.zeros(tstate.E_pq.shape[1], jnp.float32), NG, ring,
+        E_pq[0], E_pq[1], jnp.zeros(E_pq.shape[1], jnp.float32), NG, ring,
     )
     ring_pos = xj[nbr, :2]
     prev_c = xg[:, :2]
@@ -234,7 +232,36 @@ def device_step(
         cnt, 1.0
     )[:, None]
     new_c = jnp.where((cnt >= 2)[:, None], cmean % 1.0, prev_c)
-    xg = xg.at[:, :2].set(new_c)
+    return xg.at[:, :2].set(new_c)
+
+
+def device_step(
+    reg_params, hp_r, cls_params, hp_c,
+    state: DeviceRolloutState,
+    *,
+    r_threshold: float = 1e-4,   # test.py:187
+    c_threshold: float = 0.6,    # test.py:188
+    span: int = 6,
+    ring: int = tj.RING_MAX,
+) -> tuple[DeviceRolloutState, Dict]:
+    """One rollout span advance, fully traced (steps <1>-<5> of
+    rollout.engine.run), composed from the stage functions above. Returns
+    (next_state, aux) where aux carries the per-step event ids,
+    message-edge count, and the capacity flags."""
+    sample, y_r, y_c, overflow = forward_stage(
+        reg_params, hp_r, cls_params, hp_c, state, ring
+    )
+    pred_j = y_r["joint"]
+    pred_g = y_r["grain"]
+
+    xg, xj = integrate_stage(state, pred_j, pred_g, span)
+    ge, n_cand = elim_candidates(state, y_r["grain_area"], r_threshold)
+    tstate, switching, extra = edit_stage(
+        state, xg, xj, pred_j, pred_g, y_c["edge_event"], ge, c_threshold
+    )
+    xj = tstate.xj
+    E_pp, n_pp = compact_stage(tstate.E_pp)
+    xg = centers_stage(xg, xj, tstate.E_pq, ring)
 
     new_state = DeviceRolloutState(
         xg=xg, xj=xj, E_pp=E_pp, E_pq=tstate.E_pq,
@@ -291,6 +318,84 @@ def make_rollout_scan(
                     span=span, ring=ring,
                 )
                 return st, aux
+
+            return jax.lax.scan(body, state, None, length=n_steps)
+        finally:
+            period_conv.use_pallas_kernels(old)
+
+    return run
+
+
+def stack_states(states: list) -> DeviceRolloutState:
+    """Pad independent single-rollout states to common capacities and stack
+    them on a leading batch axis for the vmapped scan (one chip, B
+    rollouts). Padded grain/joint rows are masked dead; padded edge columns
+    are -1 sentinels, so every stage ignores them."""
+    NG = max(int(s.xg.shape[0]) for s in states)
+    NJ = max(int(s.xj.shape[0]) for s in states)
+    EP = max(int(s.E_pp.shape[1]) for s in states)
+    EQ = max(int(s.E_pq.shape[1]) for s in states)
+
+    def pad_rows(a, n, fill=0.0):
+        a = np.asarray(a)
+        if a.shape[0] == n:
+            return a
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    def pad_cols(a, n, fill=-1):
+        a = np.asarray(a)
+        if a.shape[1] == n:
+            return a
+        out = np.full((a.shape[0], n), fill, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    return DeviceRolloutState(
+        xg=jnp.asarray(np.stack([pad_rows(s.xg, NG) for s in states])),
+        xj=jnp.asarray(np.stack([pad_rows(s.xj, NJ) for s in states])),
+        E_pp=jnp.asarray(np.stack([pad_cols(s.E_pp, EP) for s in states])),
+        E_pq=jnp.asarray(np.stack([pad_cols(s.E_pq, EQ) for s in states])),
+        mask_g=jnp.asarray(
+            np.stack([pad_rows(s.mask_g, NG, 0) for s in states])),
+        mask_j=jnp.asarray(
+            np.stack([pad_rows(s.mask_j, NJ, 0) for s in states])),
+        n_pp=jnp.asarray(np.stack([np.asarray(s.n_pp) for s in states])),
+    )
+
+
+def make_rollout_scan_batched(
+    reg_params, hp_r, cls_params, hp_c,
+    *,
+    n_steps: int,
+    r_threshold: float = 1e-4,
+    c_threshold: float = 0.6,
+    span: int = 6,
+    ring: int = tj.RING_MAX,
+    pallas: bool = False,
+):
+    """Jitted scan of B independent rollouts advanced together by one
+    vmapped device_step — the chip-filling configuration (VERDICT round-2
+    item 2: ensemble members x seeds x (G,R) grid in one launch). Takes a
+    stack_states()-batched state; aux arrays gain a [B] axis after the
+    step axis."""
+    from ..ops import period_conv
+
+    def step(st):
+        return device_step(
+            reg_params, hp_r, cls_params, hp_c, st,
+            r_threshold=r_threshold, c_threshold=c_threshold,
+            span=span, ring=ring,
+        )
+
+    @jax.jit
+    def run(state: DeviceRolloutState):
+        old = period_conv._USE_PALLAS
+        period_conv.use_pallas_kernels(pallas)
+        try:
+            def body(st, _):
+                return jax.vmap(step)(st)
 
             return jax.lax.scan(body, state, None, length=n_steps)
         finally:

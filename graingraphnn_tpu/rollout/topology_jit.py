@@ -29,6 +29,14 @@ import numpy as np
 
 JOINT_SCALE = 5.0
 RING_MAX = 16
+# L1 switch pass executor: waves of conflict-free events vs one-at-a-time.
+# Measured on TPU (saturated 24-switch steps, artifacts/STEP_BREAKDOWN.json
+# workload): sequential 14.3 ms/step at 120 um vs waved 19.3 — a saturated
+# budget chains into one conflict component, so waves degenerate to the
+# sequential order plus scheduling overhead. The waved executor stays
+# available (oracle-tested vs sequential) for sparse-event workloads.
+# Flag consumed at trace time.
+USE_WAVED = False
 
 
 class TopoState(NamedTuple):
@@ -82,15 +90,32 @@ def _point_in_triangle(t, v1, v2, v3):
     return ~(has_neg & has_pos)
 
 
-def _switch_one(state: TopoState, e, events, pos, n_events, elim_grain):
-    """One neighbor-switching event (models.switching_edge_index per-index
-    body, :910-1045). Returns (state, force_elim_pair [2] with -1 fills).
+class SwitchPlan(NamedTuple):
+    """Write plan of one neighbor-switching event, computed read-only by
+    _switch_plan so events in the same conflict-free wave can be planned in
+    one vmapped launch and applied with merged scatters."""
+    valid: jnp.ndarray
+    p1s: jnp.ndarray
+    p2s: jnp.ndarray
+    xj_rows: jnp.ndarray    # [2] rows for the midpoint write (NJ = dropped)
+    new_pos: jnp.ndarray    # [2, 2]
+    q_cols: jnp.ndarray     # [2] E_pq row-1 columns (EQ = dropped)
+    q_vals: jnp.ndarray     # [2]
+    p_cols: jnp.ndarray     # [2] E_pp row-0 columns (EP = dropped)
+    p_vals: jnp.ndarray     # [2]
+    sq1_p2_f: jnp.ndarray   # masked row-1 rewrite keys (applied post p_cols)
+    sq2_p1_f: jnp.ndarray
+    force: jnp.ndarray      # [2] forced-elimination grains (-1 fills)
+
+
+def _switch_plan(state: TopoState, e, events, pos, n_events, elim_grain):
+    """Read-only body of one neighbor-switching event
+    (models.switching_edge_index per-index chain, :910-1045).
 
     The event chain is inherently sequential (each edit feeds the next
     query), so wall-clock is bounded by op-launch latency, not FLOPs —
     independent neighbor queries are batched into single vmapped launches
-    and full-array `where` copies into drop-mode scatters (~19 -> ~10
-    launches per event)."""
+    and full-array `where` copies into drop-mode scatters."""
     E_pp, E_pq, xj = state.E_pp, state.E_pq, state.xj
     EP = E_pp.shape[1]
     EQ = E_pq.shape[1]
@@ -174,8 +199,7 @@ def _switch_one(state: TopoState, e, events, pos, n_events, elim_grain):
     x_p2_m = _wrap(x_p2, x_p1)
     c = 0.5 * (x_p1 + x_p2_m)
     new_pos = jnp.stack([c, _wrap(c, x_p2)])
-    rows = jnp.where(valid, jnp.stack([p1s, p2s]), NJ)
-    xj = xj.at[rows, :2].set(new_pos, mode="drop")
+    xj_rows = jnp.where(valid, jnp.stack([p1s, p2s]), NJ)
 
     # The reference's orientation test (models.py:1000-1002) calls
     # point_in_triangle(x[p2], x[p1], ...) AFTER both points were set to the
@@ -211,20 +235,40 @@ def _switch_one(state: TopoState, e, events, pos, n_events, elim_grain):
     sq1_p2_f = jnp.where(swap, sq2_p2, sq1_p2)
     sq2_p1_f = jnp.where(swap, sq1_p1, sq2_p1)
 
-    # rewires (:1030-1044) — batched drop-mode scatters; the two masked row-1
-    # rewrites stay SEQUENTIAL (the second mask must see the first rewrite)
+    # rewires (:1030-1044), deferred to the apply step
     q_cols = jnp.where(valid, jnp.stack([p1_qn_sort[1], p2_qn_sort[0]]), EQ)
-    E_pq = E_pq.at[1, q_cols].set(jnp.stack([expand_q2, expand_q1]), mode="drop")
     p_cols = jnp.where(valid, jnp.stack([p1_pn_idx[1], p2_pn_idx[0]]), EP)
-    E_pp = E_pp.at[0, p_cols].set(jnp.stack([p2s, p1s]), mode="drop")
-    row1 = E_pp[1]
-    m1 = (E_pp[0] == sq1_p2_f) & (row1 == p2s)
-    row1 = jnp.where(valid & m1, p1s, row1)
-    m2 = (E_pp[0] == sq2_p1_f) & (row1 == p1s)
-    row1 = jnp.where(valid & m2, p2s, row1)
-    E_pp = jnp.stack([E_pp[0], row1])
+    return SwitchPlan(
+        valid=valid, p1s=p1s, p2s=p2s,
+        xj_rows=xj_rows, new_pos=new_pos,
+        q_cols=q_cols, q_vals=jnp.stack([expand_q2, expand_q1]),
+        p_cols=p_cols, p_vals=jnp.stack([p2s, p1s]),
+        sq1_p2_f=sq1_p2_f, sq2_p1_f=sq2_p1_f,
+        force=jnp.stack([force1, force2]),
+    )
 
-    return state._replace(E_pp=E_pp, E_pq=E_pq, xj=xj), jnp.stack([force1, force2])
+
+def _switch_apply_one(state: TopoState, plan: SwitchPlan):
+    """Apply one event's write plan (write order matches the reference:
+    midpoint move, jg rewires, jj row-0 rewires, then the two masked row-1
+    rewrites — the second mask must see the first rewrite)."""
+    xj = state.xj.at[plan.xj_rows, :2].set(plan.new_pos, mode="drop")
+    E_pq = state.E_pq.at[1, plan.q_cols].set(plan.q_vals, mode="drop")
+    E_pp = state.E_pp.at[0, plan.p_cols].set(plan.p_vals, mode="drop")
+    row1 = E_pp[1]
+    m1 = (E_pp[0] == plan.sq1_p2_f) & (row1 == plan.p2s)
+    row1 = jnp.where(plan.valid & m1, plan.p1s, row1)
+    m2 = (E_pp[0] == plan.sq2_p1_f) & (row1 == plan.p1s)
+    row1 = jnp.where(plan.valid & m2, plan.p2s, row1)
+    E_pp = jnp.stack([E_pp[0], row1])
+    return state._replace(E_pp=E_pp, E_pq=E_pq, xj=xj)
+
+
+def _switch_one(state: TopoState, e, events, pos, n_events, elim_grain):
+    """One neighbor-switching event (models.switching_edge_index per-index
+    body, :910-1045). Returns (state, force_elim_pair [2] with -1 fills)."""
+    plan = _switch_plan(state, e, events, pos, n_events, elim_grain)
+    return _switch_apply_one(state, plan), plan.force
 
 
 def switch_events(state: TopoState, events: jnp.ndarray, n_events, elim_grain):
@@ -247,28 +291,159 @@ def switch_events(state: TopoState, events: jnp.ndarray, n_events, elim_grain):
     )
     state = state._replace(xj=xj)
 
-    def body(carry, i):
-        st = carry
-        e = jnp.where(i < n_events, events[i], -1)
-        # real branch (cond inside scan): a padded slot costs nothing —
-        # the per-event chain of ~12 bounded nonzero queries only runs for
-        # live events, so editor cost scales with the event count
-        st, force = jax.lax.cond(
-            e >= 0,
-            lambda s: _switch_one(s, e, events, i, n_events, elim_grain),
-            lambda s: (s, jnp.full((2,), -1, jnp.int32)),
-            st,
-        )
-        return st, force
+    # dynamic-trip loop over the live prefix: padded slots are never
+    # iterated at all (events are compacted to the front by every caller;
+    # a stray -1 inside the prefix is still skipped by _switch_plan's
+    # validity mask)
+    MAXE = events.shape[0]
+    forces0 = jnp.full((MAXE, 2), -1, jnp.int32)
 
-    state, forces = jax.lax.scan(
-        body, state, jnp.arange(events.shape[0])
+    def body(carry):
+        st, forces, i = carry
+        st, force = _switch_one(st, events[i], events, i, n_events, elim_grain)
+        return st, forces.at[i].set(force), i + 1
+
+    n_trip = jnp.minimum(jnp.asarray(n_events, jnp.int32), MAXE)
+    state, forces, _ = jax.lax.while_loop(
+        lambda c: c[2] < n_trip, body,
+        (state, forces0, jnp.asarray(0, jnp.int32)),
     )
 
     # displacement/grad rewrite (:1048-1050): the reference's save_prev is a
     # torch VIEW of the mutated row, so scale*(x - save_prev) is identically
     # ZERO — touched junctions leave with y == 0 and zeroed grad features
     # (see rollout.topology._switch_edges and scripts/ab_stepwise.py)
+    new_y = jnp.where(touched[:, None], 0.0, state.y_joint)
+    xj = state.xj
+    xj = xj.at[:, 6:8].set(jnp.where(touched[:, None], 0.0, xj[:, 6:8]))
+    return state._replace(xj=xj, y_joint=new_y), forces.reshape(-1)
+
+
+def _switch_apply_wave(state: TopoState, P: SwitchPlan):
+    """Apply one wave of mutually conflict-free switch plans (stacked on a
+    leading axis) with merged scatters. Disjoint junction neighborhoods
+    guarantee the per-event write sets never collide, so committing all
+    plans at once equals any sequential order; the two masked row-1
+    rewrites keep their in-event ordering (m2 sees m1's writes)."""
+    xj = state.xj.at[P.xj_rows.reshape(-1), :2].set(
+        P.new_pos.reshape(-1, 2), mode="drop")
+    E_pq = state.E_pq.at[1, P.q_cols.reshape(-1)].set(
+        P.q_vals.reshape(-1), mode="drop")
+    E_pp = state.E_pp.at[0, P.p_cols.reshape(-1)].set(
+        P.p_vals.reshape(-1), mode="drop")
+    row0, row1 = E_pp[0], E_pp[1]
+    # at most one event matches any column (disjointness), so argmax picks it
+    m1 = (P.valid[:, None] & (row0[None, :] == P.sq1_p2_f[:, None])
+          & (row1[None, :] == P.p2s[:, None]))
+    row1 = jnp.where(m1.any(0), P.p1s[m1.argmax(0)], row1)
+    m2 = (P.valid[:, None] & (row0[None, :] == P.sq2_p1_f[:, None])
+          & (row1[None, :] == P.p1s[:, None]))
+    row1 = jnp.where(m2.any(0), P.p2s[m2.argmax(0)], row1)
+    return state._replace(E_pp=jnp.stack([row0, row1]), E_pq=E_pq, xj=xj)
+
+
+def _conflict_waves(state: TopoState, events, ev_valid):
+    """Schedule events into sequential waves of mutually conflict-free
+    switches (VERDICT round-2 item 3: the reference's priority order is
+    only load-bearing when events touch the same junctions,
+    models.py:726-760).
+
+    Two events conflict when their junction neighborhoods ({p1, p2} and
+    all their jj neighbors) or grain neighborhoods (jg rings of p1/p2)
+    intersect — a superset of every read key and write target of
+    _switch_plan/_switch_apply_one, so disjoint events commute exactly.
+    Conflicting events are grouped into connected components (label
+    propagation) and serialized within their component in priority order;
+    wave w executes every event whose component rank is w. Returns
+    (rank [MAXE], n_waves)."""
+    E_pp, E_pq = state.E_pp, state.E_pq
+    MAXE = events.shape[0]
+    ev_safe = jnp.where(ev_valid, events, 0)
+    p1 = jnp.where(ev_valid, E_pp[0, ev_safe], -1)
+    p2 = jnp.where(ev_valid, E_pp[1, ev_safe], -1)
+    p1s = jnp.maximum(p1, 0)
+    p2s = jnp.maximum(p2, 0)
+
+    # jj neighbors of both endpoints (3 each, includes the partner) and jg
+    # rings (3 grains each) — two batched queries
+    ends = jnp.stack([p1s, p2s], axis=1)                      # [MAXE, 2]
+    pn_cond = E_pp[0][None, None, :] == ends[:, :, None]      # [MAXE, 2, EP]
+    pn_idx = jax.vmap(jax.vmap(lambda c: _nonzero(c, 3, E_pp.shape[1] - 1)))(
+        pn_cond)
+    pn = E_pp[1][pn_idx].reshape(MAXE, 6)
+    qn_cond = E_pq[0][None, None, :] == ends[:, :, None]      # [MAXE, 2, EQ]
+    qn_idx = jax.vmap(jax.vmap(lambda c: _nonzero(c, 3, E_pq.shape[1] - 1)))(
+        qn_cond)
+    qn = E_pq[1][qn_idx].reshape(MAXE, 6)
+
+    J = jnp.concatenate([p1[:, None], p2[:, None], pn], axis=1)  # [MAXE, 8]
+    J = jnp.where(ev_valid[:, None], J, -1)
+    G = jnp.where(ev_valid[:, None], qn, -1)
+
+    def inter(A):
+        eq = (A[:, None, :, None] == A[None, :, None, :]) & (
+            A[:, None, :, None] >= 0)
+        return eq.any(axis=(2, 3))
+
+    C = inter(J) | inter(G)
+    C = C & ev_valid[:, None] & ev_valid[None, :]
+
+    # connected components: iterate label minimization ceil(log2(MAXE)) + 1
+    # times (component diameter halves per iteration)
+    labels = jnp.where(ev_valid, jnp.arange(MAXE), MAXE)
+    n_iter = int(np.ceil(np.log2(max(MAXE, 2)))) + 1
+    for _ in range(n_iter):
+        nbr_min = jnp.min(jnp.where(C, labels[None, :], MAXE), axis=1)
+        labels = jnp.minimum(labels, nbr_min)
+
+    lane = jnp.arange(MAXE)
+    same = (labels[None, :] == labels[:, None]) & ev_valid[None, :]
+    rank = (same & (lane[None, :] < lane[:, None])).sum(axis=1)
+    rank = jnp.where(ev_valid, rank, MAXE)
+    n_waves = jnp.where(ev_valid.any(), jnp.max(jnp.where(ev_valid, rank, -1)) + 1, 0)
+    return rank, n_waves
+
+
+def switch_events_waved(state: TopoState, events: jnp.ndarray, n_events,
+                        elim_grain):
+    """switch_events with speculative batched execution: conflict-free
+    switches commit together in one vectorized wave; only overlapping
+    chains serialize (one wave per component rank). Semantically equal to
+    the sequential version — oracle-tested against it and against the host
+    editor on recorded traces."""
+    ev_safe = jnp.where(events >= 0, events, 0)
+    ev_valid = (events >= 0) & (jnp.arange(events.shape[0]) < n_events)
+    va = jnp.where(ev_valid, state.E_pp[0, ev_safe], -1)
+    vb = jnp.where(ev_valid, state.E_pp[1, ev_safe], -1)
+    NJ = state.xj.shape[0]
+    touched = jnp.zeros(NJ, bool)
+    touched = touched.at[jnp.where(va >= 0, va, NJ)].set(True, mode="drop")
+    touched = touched.at[jnp.where(vb >= 0, vb, NJ)].set(True, mode="drop")
+
+    xj = state.xj
+    xj = xj.at[:, :2].add(
+        jnp.where(touched[:, None], -state.y_joint / JOINT_SCALE, 0.0)
+    )
+    state = state._replace(xj=xj)
+
+    rank, n_waves = _conflict_waves(state, events, ev_valid)
+    MAXE = events.shape[0]
+    forces0 = jnp.full((MAXE, 2), -1, jnp.int32)
+
+    def wave_body(carry):
+        st, forces, w = carry
+        mask = ev_valid & (rank == w)
+        plans = jax.vmap(
+            lambda e, pos, m: _switch_plan(
+                st, jnp.where(m, e, -1), events, pos, n_events, elim_grain)
+        )(events, jnp.arange(MAXE), mask)
+        st = _switch_apply_wave(st, plans)
+        forces = jnp.where(mask[:, None], plans.force, forces)
+        return st, forces, w + 1
+
+    state, forces, _ = jax.lax.while_loop(
+        lambda c: c[2] < n_waves, wave_body, (state, forces0, jnp.asarray(0)))
+
     new_y = jnp.where(touched[:, None], 0.0, state.y_joint)
     xj = state.xj
     xj = xj.at[:, 6:8].set(jnp.where(touched[:, None], 0.0, xj[:, 6:8]))
@@ -422,13 +597,20 @@ def _two_sided_cleanup(state: TopoState, num_grains):
     targets = _nonzero(bad, MAX_TWOSIDED, -1)
     targets = jnp.where(targets >= 0, targets, -1)
 
-    def body(st, g):
-        st, ok = jax.lax.cond(
-            g >= 0, lambda s: delete_grain(s, g), lambda s: (s, jnp.asarray(False)), st
-        )
-        return st, jnp.where(ok, g, -1)
+    # dynamic-trip loop over the compacted live prefix — typically 0 or 1
+    # two-sided grains, so padded budget slots are never iterated
+    def body(carry):
+        st, dropped, i = carry
+        g = targets[i]
+        st, ok = delete_grain(st, g)
+        dropped = dropped.at[i].set(jnp.where(ok, g, -1))
+        return st, dropped, i + 1
 
-    state, dropped = jax.lax.scan(body, state, targets)
+    state, dropped, _ = jax.lax.while_loop(
+        lambda c: (c[2] < MAX_TWOSIDED) & (targets[jnp.minimum(c[2], MAX_TWOSIDED - 1)] >= 0),
+        body,
+        (state, jnp.full((MAX_TWOSIDED,), -1, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
     return state, dropped
 
 
@@ -470,46 +652,48 @@ def update_jit(
         return extra, n + ok.sum().astype(jnp.int32)
 
     # ---------------- grain eliminations ------------------------------
-    def elim_body(carry, g):
-        # the whole per-elimination chain (ring collapse, deletes, cleanup)
-        # is a real branch on g >= 0: padded budget slots are free
-        def do(carry):
-            state, L1, extra, n_extra = carry
-            state, ok, L2, n_l2, forces = _ring_collapse(state, g, y_grain, active_g)
-            extra, n_extra = put_extra(extra, n_extra, forces)
+    # dynamic-trip loop over the compacted candidate prefix: padded budget
+    # slots are never iterated (elim_candidates compacts live ids first)
+    def elim_body(carry):
+        state, L1, extra, n_extra, i = carry
+        g = grain_events[i]
+        state, ok, L2, n_l2, forces = _ring_collapse(state, g, y_grain, active_g)
+        extra, n_extra = put_extra(extra, n_extra, forces)
 
-            def delete_all(state):
-                state, _ = delete_grain(state, g)
+        def delete_all(state):
+            state, _ = delete_grain(state, g)
+            # forced deletions: loop the compacted live prefix only
+            live_f = _nonzero(forces >= 0, forces.shape[0], -1)
+            NF = forces.shape[0]
 
-                def fbody(st, fg):
-                    st, _ = jax.lax.cond(
-                        fg >= 0,
-                        lambda s: delete_grain(s, fg),
-                        lambda s: (s, jnp.asarray(False)),
-                        st,
-                    )
-                    return st, None
+            def fbody(c):
+                st, k = c
+                st, _ = delete_grain(st, forces[live_f[k]])
+                return st, k + 1
 
-                state, _ = jax.lax.scan(fbody, state, forces)
-                return state
-
-            state = jax.lax.cond(ok, delete_all, lambda s: s, state)
-            # drop collapsed edges from the pending switch list (models.py:706-709)
-            hit = (L1[:, None] == L2[None, :]) & (L2[None, :] >= 0) & ok
-            L1 = jnp.where(hit.any(axis=1), -1, L1)
-            state, dropped = jax.lax.cond(
-                ok,
-                lambda s: _two_sided_cleanup(s, num_grains),
-                lambda s: (s, jnp.full((MAX_TWOSIDED,), -1, jnp.int32)),
-                state,
+            state, _ = jax.lax.while_loop(
+                lambda c: (c[1] < NF) & (live_f[jnp.minimum(c[1], NF - 1)] >= 0),
+                fbody, (state, jnp.asarray(0, jnp.int32)),
             )
-            return state, L1, extra, n_extra
+            return state
 
-        carry = jax.lax.cond(g >= 0, do, lambda c: c, carry)
-        return carry, None
+        state = jax.lax.cond(ok, delete_all, lambda s: s, state)
+        # drop collapsed edges from the pending switch list (models.py:706-709)
+        hit = (L1[:, None] == L2[None, :]) & (L2[None, :] >= 0) & ok
+        L1 = jnp.where(hit.any(axis=1), -1, L1)
+        state, dropped = jax.lax.cond(
+            ok,
+            lambda s: _two_sided_cleanup(s, num_grains),
+            lambda s: (s, jnp.full((MAX_TWOSIDED,), -1, jnp.int32)),
+            state,
+        )
+        return state, L1, extra, n_extra, i + 1
 
-    (state, L1, extra, n_extra), _ = jax.lax.scan(
-        elim_body, (state, L1, extra, n_extra), grain_events
+    state, L1, extra, n_extra, _ = jax.lax.while_loop(
+        lambda c: (c[4] < MAX_ELIM)
+        & (grain_events[jnp.minimum(c[4], MAX_ELIM - 1)] >= 0),
+        elim_body,
+        (state, L1, extra, n_extra, jnp.asarray(0, jnp.int32)),
     )
 
     # ---------------- neighbor switching ------------------------------
@@ -520,7 +704,10 @@ def update_jit(
     sel = _nonzero(L1_live >= 0, MAX_SWITCH, MAX_SWITCH - 1)
     L1c = jnp.where(jnp.arange(MAX_SWITCH) < (L1_live >= 0).sum(), L1_live[sel], -1)
     n_sw = (L1_live >= 0).sum()
-    state, forces = switch_events(state, L1c, n_sw, jnp.asarray(-1))
+    # conflict-free switches commit together (waves); ring collapses above
+    # stay sequential — consecutive ring edges share junctions by design
+    _switch = switch_events_waved if USE_WAVED else switch_events
+    state, forces = _switch(state, L1c, n_sw, jnp.asarray(-1))
     extra, n_extra = put_extra(extra, n_extra, forces)
     sw_safe = jnp.where(L1c >= 0, L1c, 0)
     switching = jnp.where(

@@ -283,3 +283,25 @@ def test_capacity_bust_flags_and_bench_abort(setup):
     bench._check_capacity(
         {"ring_overflow": np.zeros(2, bool), "pp_overflow": np.zeros(2, bool)}
     )
+
+
+def test_batched_scan_matches_single_rollouts(setup):
+    """stack_states + the vmapped scan advance B independent rollouts
+    exactly as B single-rollout scans (lane-exact up to fp tolerance),
+    regardless of cross-lane capacity padding."""
+    rp, hp_r, cp, hp_c, hg0 = setup
+    traj2 = make_traj(seed=7)
+    hg2 = extraction.make_test_sample(traj2, span=6)
+    singles = [dr.state_from_heterograph(hg0), dr.state_from_heterograph(hg2)]
+    batched = dr.stack_states(singles)
+    runb = dr.make_rollout_scan_batched(
+        rp, hp_r, cp, hp_c, n_steps=3, c_threshold=0.9)
+    stb, auxb = runb(batched)
+    assert not bool(np.asarray(auxb["ring_overflow"]).any())
+    run1 = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=3, c_threshold=0.9)
+    for i, s in enumerate(singles):
+        st1, _ = run1(s)
+        ng = st1.xg.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(stb.xg[i, :ng]), np.asarray(st1.xg), atol=2e-5)
+        assert (np.asarray(stb.mask_g[i, :ng]) == np.asarray(st1.mask_g)).all()

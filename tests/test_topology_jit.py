@@ -406,3 +406,41 @@ def test_active_window_matches_host(seed):
     assert ex_js == sorted(int(v) for v in ex_h)
     sw_js = {tuple(r) for r in np.asarray(sw_j).tolist() if r[0] >= 0}
     assert sw_js == {tuple(r) for r in sw_h.tolist()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_waved_switching_matches_sequential(seed):
+    """switch_events_waved (conflict-component waves) must reproduce the
+    sequential switch_events exactly: same connectivity, positions,
+    displacements, and force-eliminations — on random high-count event
+    sets whose neighborhoods do overlap."""
+    x, edges, mask = load_graph()
+    jj = edges["connect"]
+    rng = np.random.default_rng(seed)
+    cand = np.nonzero(jj[0] < jj[1])[0]
+    n = min(tj.MAX_SWITCH, len(cand))
+    picks = rng.choice(cand, size=n, replace=False).astype(np.int32)
+    events = np.full(tj.MAX_SWITCH, -1, np.int32)
+    events[:n] = picks
+    y = neutral_pred(x, edges)
+    y["joint"] = rng.normal(0, 0.3, y["joint"].shape)
+
+    def run(fn):
+        st = make_state(x, edges, mask)
+        st = st._replace(y_joint=jnp.asarray(y["joint"], jnp.float32))
+        st2, forces = jax.jit(
+            lambda s, e: fn(s, e, jnp.asarray(n), jnp.asarray(-1))
+        )(st, jnp.asarray(events))
+        return st2, np.asarray(forces)
+
+    st_seq, f_seq = run(tj.switch_events)
+    st_wav, f_wav = run(tj.switch_events_waved)
+
+    assert edge_sets(st_seq.E_pp) == edge_sets(st_wav.E_pp)
+    Eq_s, Eq_w = np.asarray(st_seq.E_pq), np.asarray(st_wav.E_pq)
+    assert (Eq_s == Eq_w).all()
+    np.testing.assert_allclose(
+        np.asarray(st_wav.xj), np.asarray(st_seq.xj), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_wav.y_joint), np.asarray(st_seq.y_joint), atol=1e-6)
+    assert sorted(f_seq[f_seq >= 0].tolist()) == sorted(f_wav[f_wav >= 0].tolist())
