@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--pallas", action="store_true",
                    help="device_resident only: fused bf16 Pallas convs")
+    p.add_argument("--clamp_gr", type=str, default="",
+                   help="'Gmin,Gmax,Rmin,Rmax': clamp thermal features to "
+                        "the training hull before inference (off by "
+                        "default — the reference extrapolates freely; see "
+                        "artifacts/CALIBRATION_120um.json)")
     args = p.parse_args(argv)
 
     import jax
@@ -86,12 +91,17 @@ def main(argv=None):
             c_threshold=c_threshold,
             seed=args.seed, verbose=args.verbose, jit_editor=args.jit_editor,
         )
+        clamp = None
+        if args.clamp_gr:
+            clamp = tuple(float(v) for v in args.clamp_gr.split(","))
+            if len(clamp) != 4:
+                p.error("--clamp_gr expects 'Gmin,Gmax,Rmin,Rmax'")
         res = engine.run(
             hg0, traj, span=args.span or 6, compare=args.compare,
             growth_height=args.growth_height,
             nucleation_density=args.nucleation_density,
             temporal=args.temporal, interp_frames=args.interp_frames,
-            collect_fields=args.plot3d,
+            collect_fields=args.plot3d, clamp_gr=clamp,
         )
     if args.plot3d and res["alpha_field_list"]:
         from ..viz.volume import GrainVisual

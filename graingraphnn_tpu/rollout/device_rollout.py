@@ -183,19 +183,20 @@ def integrate_stage(state, pred_j, pred_g, span):
     return xg, xj
 
 
-def elim_candidates(state, area, r_threshold):
+def elim_candidates(state, area, r_threshold, max_elim: int = tj.MAX_ELIM):
     """<3a> live grains under the area threshold, ascending predicted area
-    (test.py:409-414). Returns (ge [MAX_ELIM], n_candidates)."""
+    (test.py:409-414). Returns (ge [max_elim], n_candidates)."""
     key = jnp.where((state.mask_g > 0) & (area < r_threshold), area, jnp.inf)
     order = jnp.argsort(key)
     n_cand = jnp.isfinite(key).sum()
     ge = jnp.where(
         jnp.isfinite(key[order]), order.astype(jnp.int32), -1
-    )[: tj.MAX_ELIM]
+    )[:max_elim]
     return ge, n_cand
 
 
-def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold):
+def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold,
+               max_switch: int = tj.MAX_SWITCH):
     """<3b> jit topology editor. Returns (tstate, switching, extra)."""
     jj_live = state.E_pp[0] >= 0
     logits = jnp.where(jj_live, edge_logits, NEG)
@@ -204,7 +205,8 @@ def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold):
         mask_g=state.mask_g, mask_j=state.mask_j, append_ptr=state.n_pp,
     )
     return tj.update_jit(
-        tstate, logits, ge, pred_g, c_threshold, xg.shape[0]
+        tstate, logits, ge, pred_g, c_threshold, xg.shape[0],
+        max_switch=max_switch,
     )
 
 
@@ -243,11 +245,17 @@ def device_step(
     c_threshold: float = 0.6,    # test.py:188
     span: int = 6,
     ring: int = tj.RING_MAX,
+    max_elim: int = tj.MAX_ELIM,
+    max_switch: int = tj.MAX_SWITCH,
 ) -> tuple[DeviceRolloutState, Dict]:
     """One rollout span advance, fully traced (steps <1>-<5> of
     rollout.engine.run), composed from the stage functions above. Returns
     (next_state, aux) where aux carries the per-step event ids,
-    message-edge count, and the capacity flags."""
+    message-edge count, and the capacity flags.
+
+    max_elim/max_switch scale the editor's per-step event budgets — a
+    packed multi-lane state (pack_states) passes B x the single-lane
+    budgets."""
     sample, y_r, y_c, overflow = forward_stage(
         reg_params, hp_r, cls_params, hp_c, state, ring
     )
@@ -255,9 +263,11 @@ def device_step(
     pred_g = y_r["grain"]
 
     xg, xj = integrate_stage(state, pred_j, pred_g, span)
-    ge, n_cand = elim_candidates(state, y_r["grain_area"], r_threshold)
+    ge, n_cand = elim_candidates(state, y_r["grain_area"], r_threshold,
+                                 max_elim)
     tstate, switching, extra = edit_stage(
-        state, xg, xj, pred_j, pred_g, y_c["edge_event"], ge, c_threshold
+        state, xg, xj, pred_j, pred_g, y_c["edge_event"], ge, c_threshold,
+        max_switch,
     )
     xj = tstate.xj
     E_pp, n_pp = compact_stage(tstate.E_pp)
@@ -280,7 +290,7 @@ def device_step(
         "pp_overflow": tstate.append_ptr > state.E_pp.shape[1],
         # candidates beyond the per-step elimination budget are deferred to
         # the next span (they keep shrinking); surfaced for diagnostics
-        "elim_saturated": n_cand > tj.MAX_ELIM,
+        "elim_saturated": n_cand > max_elim,
     }
     return new_state, aux
 
@@ -294,6 +304,8 @@ def make_rollout_scan(
     span: int = 6,
     ring: int = tj.RING_MAX,
     pallas: bool = False,
+    max_elim: int = tj.MAX_ELIM,
+    max_switch: int = tj.MAX_SWITCH,
 ):
     """Jitted n_steps-span rollout: state -> (state, aux-per-step). One
     compile per (capacity, n_steps); zero host transfers inside.
@@ -316,6 +328,7 @@ def make_rollout_scan(
                     reg_params, hp_r, cls_params, hp_c, st,
                     r_threshold=r_threshold, c_threshold=c_threshold,
                     span=span, ring=ring,
+                    max_elim=max_elim, max_switch=max_switch,
                 )
                 return st, aux
 
@@ -362,6 +375,69 @@ def stack_states(states: list) -> DeviceRolloutState:
         mask_j=jnp.asarray(
             np.stack([pad_rows(s.mask_j, NJ, 0) for s in states])),
         n_pp=jnp.asarray(np.stack([np.asarray(s.n_pp) for s in states])),
+    )
+
+
+def pack_states(states: list) -> DeviceRolloutState:
+    """Concatenate B independent rollout states into ONE block-diagonal
+    graph (node/edge ids offset per lane, live columns compacted to the
+    front) so the whole batched rollout runs on the single-graph code path.
+
+    This is the TPU-native batching: vmapping device_step lowers the
+    editor's dynamic gathers/scatters to slow batched variants (measured
+    7-9x per-stage slowdowns), while a packed graph keeps every op in the
+    exact single-rollout form — the forward's matmuls simply get B x
+    taller. Lanes never interact: their edit chains are disjoint by
+    construction, and the editor's global candidate orderings interleave
+    lanes without changing any lane's internal order. Run the packed state
+    with max_elim/max_switch scaled by B (device_step budgets).
+
+    Constraint: lanes share the z schedule (the scalar z-clamp reads row 0),
+    i.e. all lanes start at the same frame — true for ensemble/seed/(G,R)
+    sweeps, the intended use (one lane per member x seed x condition)."""
+    g_off, j_off = [], []
+    ng = nj = 0
+    for s in states:
+        g_off.append(ng)
+        j_off.append(nj)
+        ng += int(s.xg.shape[0])
+        nj += int(s.xj.shape[0])
+
+    def shift(e, row_offsets):
+        e = np.asarray(e)
+        out = np.where(e >= 0, e + row_offsets, -1)
+        return out
+
+    xg = np.concatenate([np.asarray(s.xg) for s in states])
+    xj = np.concatenate([np.asarray(s.xj) for s in states])
+    mask_g = np.concatenate([np.asarray(s.mask_g) for s in states])
+    mask_j = np.concatenate([np.asarray(s.mask_j) for s in states])
+
+    pp_cols, pq_cols = [], []
+    for i, s in enumerate(states):
+        E_pp = np.asarray(s.E_pp)
+        live = E_pp[0] >= 0
+        pp_live = E_pp[:, live] + j_off[i]
+        pp_dead = np.full((2, int((~live).sum())), -1, E_pp.dtype)
+        pp_cols.append((pp_live, pp_dead))
+        E_pq = np.asarray(s.E_pq)
+        qlive = E_pq[0] >= 0
+        pq = E_pq.copy()
+        pq[0] = np.where(qlive, pq[0] + j_off[i], -1)
+        pq[1] = np.where(qlive, pq[1] + g_off[i], -1)
+        pq_cols.append(pq)
+
+    # live columns first (append-cursor contract), dead slack at the tail
+    E_pp = np.concatenate(
+        [c[0] for c in pp_cols] + [c[1] for c in pp_cols], axis=1)
+    E_pq = np.concatenate(pq_cols, axis=1)
+    n_pp = sum(int(c[0].shape[1]) for c in pp_cols)
+
+    return DeviceRolloutState(
+        xg=jnp.asarray(xg), xj=jnp.asarray(xj),
+        E_pp=jnp.asarray(E_pp), E_pq=jnp.asarray(E_pq),
+        mask_g=jnp.asarray(mask_g), mask_j=jnp.asarray(mask_j),
+        n_pp=jnp.asarray(n_pp, jnp.int32),
     )
 
 

@@ -53,7 +53,15 @@ class RolloutEngine:
         seed: int = 0,
         verbose: bool = False,
         jit_editor: bool = False,
+        halo: Optional[tuple] = None,
     ):
+        """`halo`: (mesh, D[, axis]) — partition BOTH model forwards over a
+        device mesh with halo-exchange stripes (parallel.halo) inside every
+        rollout span; the topology editor stays replicated on host. Stripes
+        are rebuilt from the moved junction positions each span. Periodic
+        BC only. This is the multi-chip rollout leg (SURVEY §2.8): the
+        same graph, partitioned, must roll out identically to one device
+        (tests/test_halo.py)."""
         # a list/tuple of param pytrees = an ensemble: members are stacked on
         # a leading axis, the forward vmaps over it and averages predictions.
         # Regressor outputs are post-nonlinearity (tanh/relu), so their mean
@@ -78,6 +86,17 @@ class RolloutEngine:
         self.r_threshold = r_threshold
         self.c_threshold = c_threshold
         self.jit_editor = jit_editor
+        self._halo_span = None
+        self._halo_D = None
+        if halo is not None:
+            from ..parallel.halo import make_halo_span_forward
+
+            mesh, D = halo[0], halo[1]
+            axis = halo[2] if len(halo) > 2 else "gp"
+            assert not (self._ens_r or self._ens_c), \
+                "halo rollout covers single-model checkpoints"
+            self._halo_span = make_halo_span_forward(hp_r, hp_c, mesh, axis)
+            self._halo_D = D
         self.editor = TopologyEditor(
             threshold=c_threshold, rng=np.random.default_rng(seed), verbose=verbose
         )
@@ -204,7 +223,24 @@ class RolloutEngine:
     # ------------------------------------------------------------------
     def _forward(self, x, edges, edge_attr, caps):
         """Jitted regressor+classifier forward on padded arrays. One compile
-        per capacity bucket."""
+        per capacity bucket. With `halo` set, both forwards run partitioned
+        over the mesh instead (stripes rebuilt from current positions)."""
+        if self._halo_span is not None:
+            ei = {
+                schema.EDGE_TYPES[0]: edges["push"],
+                schema.EDGE_TYPES[1]: edges["pull"],
+                schema.EDGE_TYPES[2]: edges["connect"],
+            }
+            pred = self._halo_span(
+                self.reg_params, self.cls_params,
+                {"grain": x["grain"], "joint": x["joint"]}, ei, edge_attr,
+                {"grain": self._mask["grain"], "joint": self._mask["joint"]},
+                self._halo_D,
+            )
+            y_r = {"joint": pred["joint"], "grain": pred["grain"],
+                   "grain_area": pred["grain_area"]}
+            y_c = {"edge_event": pred["edge_event"], "edge": pred["edge"]}
+            return (y_r, y_c), None
         key = caps
         if key not in self._fwd_cache:
             def fwd(sample):
@@ -280,9 +316,20 @@ class RolloutEngine:
         interp_frames: int = 0,
         collect_fields: bool = False,
         meltpool: Optional[Dict] = None,
+        clamp_gr: Optional[tuple] = None,
     ) -> Dict:
         """`meltpool`: moving-melt-pool geometry {r0, z0, melt_pool_angle}
-        (test.py:315-324); None for the static (line) melt pool."""
+        (test.py:315-324); None for the static (line) melt pool.
+
+        `clamp_gr`: (G_min, G_max, R_min, R_max) — clamp the thermal
+        features (joint cols 3/4, encoded 1-G/10 and R/2) to the training
+        hull before inference. OFF by default: the reference extrapolates
+        freely (README.md:69 evaluates 120um at G=10, R=2 with a model
+        trained near G~2, R~0.6). The 120um calibration isolated the
+        event over-prediction to exactly this thermal extrapolation
+        (artifacts/CALIBRATION_120um.json: clamping lands the event count
+        inside the reference's 644-704 band); this option ships that
+        counterfactual as a documented inference-time mitigation."""
         span = span or getattr(hg0, "span", 6)
         t_start = time.time()
 
@@ -308,8 +355,16 @@ class RolloutEngine:
             "grain": np.array(hg0.mask["grain"], dtype=np.int64).reshape(-1, 1),
             "joint": np.ones((len(x["joint"]), 1), dtype=np.int64),  # test.py:291
         }
+        if clamp_gr is not None:
+            g_min, g_max, r_min, r_max = clamp_gr
+            g = 10.0 * (1.0 - x["joint"][:, 3])
+            r = 2.0 * x["joint"][:, 4]
+            x["joint"][:, 3] = 1.0 - np.clip(g, g_min, g_max) / 10.0
+            x["joint"][:, 4] = np.clip(r, r_min, r_max) / 2.0
         self._mask = mask
         self._bc = traj.BC
+        if self._halo_span is not None and traj.BC != "periodic":
+            raise ValueError("halo-partitioned rollout covers periodic BC")
 
         # patch rescaling for domains larger than the 40um training patch
         # (test.py:29-55,310-312): local geometry statistics are scaled to
@@ -454,8 +509,13 @@ class RolloutEngine:
 
             # <1> forward
             if temporal:
-                x["joint"][:, 3] = 1 - g_list[frame // span - 1] / 10
-                x["joint"][:, 4] = r_list[frame // span - 1] / 2
+                g_now = g_list[frame // span - 1]
+                r_now = r_list[frame // span - 1]
+                if clamp_gr is not None:
+                    g_now = np.clip(g_now, clamp_gr[0], clamp_gr[1])
+                    r_now = np.clip(r_now, clamp_gr[2], clamp_gr[3])
+                x["joint"][:, 3] = 1 - g_now / 10
+                x["joint"][:, 4] = r_now / 2
             (y_r, y_c), _sample = self._forward(
                 {k: v.astype(np.float32) for k, v in x.items()}, edges, edge_attr, caps()
             )

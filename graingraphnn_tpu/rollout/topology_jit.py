@@ -585,16 +585,17 @@ def _ring_collapse(state: TopoState, g, y_grain, active_g=None):
     return state, ok, events, n_events, forces
 
 
-def _two_sided_cleanup(state: TopoState, num_grains):
+def _two_sided_cleanup(state: TopoState, num_grains, budget: int = MAX_TWOSIDED):
     """Single pass over grains left with <= 2 live ring edges
-    (models.py:712-722,745-757)."""
+    (models.py:712-722,745-757). `budget` scales with the lane count for
+    packed multi-rollout states."""
     E_pq = state.E_pq
     live = E_pq[1] >= 0
     counts = jnp.zeros(num_grains, jnp.int32).at[
         jnp.where(live, E_pq[1], num_grains)
     ].add(1, mode="drop")
     bad = (counts > 0) & (counts <= 2)
-    targets = _nonzero(bad, MAX_TWOSIDED, -1)
+    targets = _nonzero(bad, budget, -1)
     targets = jnp.where(targets >= 0, targets, -1)
 
     # dynamic-trip loop over the compacted live prefix — typically 0 or 1
@@ -607,39 +608,49 @@ def _two_sided_cleanup(state: TopoState, num_grains):
         return st, dropped, i + 1
 
     state, dropped, _ = jax.lax.while_loop(
-        lambda c: (c[2] < MAX_TWOSIDED) & (targets[jnp.minimum(c[2], MAX_TWOSIDED - 1)] >= 0),
+        lambda c: (c[2] < budget) & (targets[jnp.minimum(c[2], budget - 1)] >= 0),
         body,
-        (state, jnp.full((MAX_TWOSIDED,), -1, jnp.int32), jnp.asarray(0, jnp.int32)),
+        (state, jnp.full((budget,), -1, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
     return state, dropped
 
 
-@partial(jax.jit, static_argnames=("num_grains",))
+@partial(jax.jit, static_argnames=("num_grains", "max_switch"))
 def update_jit(
     state: TopoState,
     edge_logits: jnp.ndarray,    # [EP] (slack columns padded with -inf)
-    grain_events: jnp.ndarray,   # [MAX_ELIM] grain ids sorted by area asc, -1 pad
+    grain_events: jnp.ndarray,   # [GE] grain ids sorted by area asc, -1 pad
     y_grain: jnp.ndarray,        # [NG, 2] regressor grain outputs
     threshold: float,
     num_grains: int,
     active_g: jnp.ndarray | None = None,  # [NG] bool meltpool window, None = all
+    max_switch: int = MAX_SWITCH,
 ):
     """Full device-side topology update. Nucleation (array growth) runs as a
     separate pass afterwards — see nucleate_jit, mirroring the host editor's
     ordering (topology.TopologyEditor.update:154-158). Returns
-    (state, switching_edges [MAX_SWITCH, 2], extra_events [MAX_EXTRA])."""
+    (state, switching_edges [max_switch, 2], extra_events [2*GE*(RING_MAX+1)
+    + 2*max_switch]).
+
+    Budgets scale with the inputs: the elimination budget is
+    grain_events.shape[0] and the switch budget is `max_switch`, so a
+    packed multi-lane state (device_rollout.pack_states) passes
+    B x the single-lane budgets."""
     E_pp = state.E_pp
     EP = E_pp.shape[1]
+    GE = grain_events.shape[0]
+    max_extra = 2 * GE * (RING_MAX + 1) + 2 * max_switch
+    ts_budget = max(MAX_TWOSIDED, GE)
     prob = jax.nn.sigmoid(edge_logits)
     cand = (prob > threshold) & (E_pp[0] < E_pp[1]) & (E_pp[0] >= 0)
     # host builds L1 in ascending edge order, then sorts desc by prob
     # (stable) — argsort(-prob) with invalid at the bottom matches
     keys = jnp.where(cand, -prob, jnp.inf)
     order = jnp.argsort(keys, stable=True)
-    L1 = jnp.where(jnp.arange(EP) < cand.sum(), order, -1)[:MAX_SWITCH]
-    n_l1 = jnp.minimum(cand.sum(), MAX_SWITCH)
+    L1 = jnp.where(jnp.arange(EP) < cand.sum(), order, -1)[:max_switch]
+    n_l1 = jnp.minimum(cand.sum(), max_switch)
 
-    extra = jnp.full((MAX_EXTRA,), -1, jnp.int32)
+    extra = jnp.full((max_extra,), -1, jnp.int32)
     n_extra = jnp.asarray(0, jnp.int32)
 
     def put_extra(extra, n, vals):
@@ -683,15 +694,15 @@ def update_jit(
         L1 = jnp.where(hit.any(axis=1), -1, L1)
         state, dropped = jax.lax.cond(
             ok,
-            lambda s: _two_sided_cleanup(s, num_grains),
-            lambda s: (s, jnp.full((MAX_TWOSIDED,), -1, jnp.int32)),
+            lambda s: _two_sided_cleanup(s, num_grains, ts_budget),
+            lambda s: (s, jnp.full((ts_budget,), -1, jnp.int32)),
             state,
         )
         return state, L1, extra, n_extra, i + 1
 
     state, L1, extra, n_extra, _ = jax.lax.while_loop(
-        lambda c: (c[4] < MAX_ELIM)
-        & (grain_events[jnp.minimum(c[4], MAX_ELIM - 1)] >= 0),
+        lambda c: (c[4] < GE)
+        & (grain_events[jnp.minimum(c[4], GE - 1)] >= 0),
         elim_body,
         (state, L1, extra, n_extra, jnp.asarray(0, jnp.int32)),
     )
@@ -701,8 +712,8 @@ def update_jit(
         (L1 >= 0) & (state.E_pp[0, jnp.where(L1 >= 0, L1, 0)] >= 0), L1, -1
     )
     # compact, preserving order
-    sel = _nonzero(L1_live >= 0, MAX_SWITCH, MAX_SWITCH - 1)
-    L1c = jnp.where(jnp.arange(MAX_SWITCH) < (L1_live >= 0).sum(), L1_live[sel], -1)
+    sel = _nonzero(L1_live >= 0, max_switch, max_switch - 1)
+    L1c = jnp.where(jnp.arange(max_switch) < (L1_live >= 0).sum(), L1_live[sel], -1)
     n_sw = (L1_live >= 0).sum()
     # conflict-free switches commit together (waves); ring collapses above
     # stay sequential — consecutive ring edges share junctions by design
@@ -716,7 +727,7 @@ def update_jit(
         -1,
     )
 
-    state, dropped = _two_sided_cleanup(state, num_grains)
+    state, dropped = _two_sided_cleanup(state, num_grains, ts_budget)
     extra, n_extra = put_extra(extra, n_extra, dropped)
     return state, switching, extra
 

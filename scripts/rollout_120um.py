@@ -21,6 +21,10 @@ parser.add_argument("--platform", default="cpu", choices=["tpu", "cpu"])
 parser.add_argument("--model_dir", default="/root/repo/artifacts/40um")
 parser.add_argument("--growth_height", type=float, default=-1.0)
 parser.add_argument("--verbose", action="store_true")
+parser.add_argument("--clamp_gr", type=str, default="",
+                    help="'Gmin,Gmax,Rmin,Rmax' training-hull clamp for the "
+                         "thermal features (the shipped 120um mitigation; "
+                         "artifacts/CALIBRATION_120um.json)")
 args = parser.parse_args()
 
 if args.platform == "cpu":
@@ -48,12 +52,16 @@ engine = RolloutEngine(
     params_r, hp_r, params_c, hp_c,
     c_threshold=extra.get("threshold", 0.6), seed=0, verbose=args.verbose,
 )
+clamp = None
+if args.clamp_gr:
+    clamp = tuple(float(v) for v in args.clamp_gr.split(","))
 res = engine.run(
     hg0, traj, span=6, compare=False, growth_height=args.growth_height,
-    reconstruct=True,
+    reconstruct=True, clamp_gr=clamp,
 )
 print(json.dumps({
     "events_pred": res["events_pred"],
+    "clamp_gr": args.clamp_gr or None,
     "inference_time_s": round(res["inference_time"], 2),
     "misorientation_first_last": [
         round(res["misorientation"][0], 3), round(res["misorientation"][-1], 3)

@@ -103,3 +103,44 @@ def test_halo_rejects_too_many_stripes(graph):
         halo.build_striped(
             a["features"], a["edge_index"], a["edge_weight"], a["mask"], 16
         )
+
+
+def test_halo_rollout_span_matches_single_device():
+    """Multi-chip ROLLOUT leg (SURVEY §2.8): the engine with both forwards
+    partitioned over halo stripes must roll the REAL seed10020 case out
+    identically to the single-device engine — same trajectory, same events
+    (the editor is replicated; only the forward is sharded)."""
+    from graingraphnn_tpu.data import extraction
+    from graingraphnn_tpu.rollout.engine import RolloutEngine
+    from graingraphnn_tpu.train import checkpoint
+
+    traj = extraction.TrajectoryExtractor(lxd=40, seed=10020, frames=121)
+    traj.match_graph = False
+    traj.extract("/root/reference/rawdat_PF/40_40", cache_dir="data_cache")
+    params_r, hp_r, _ = checkpoint.load("artifacts/40um/regressor0")
+    params_c, hp_c, _ = checkpoint.load("artifacts/40um/classifier1")
+
+    import copy
+
+    state0 = copy.deepcopy(traj.states[0])
+
+    def run(halo):
+        # make_test_sample mutates states[0] in place (append_history
+        # grows feature columns); restore the pristine state per run
+        traj.states[0] = copy.deepcopy(state0)
+        hg0 = extraction.make_test_sample(traj, span=6)
+        eng = RolloutEngine(params_r, hp_r, params_c, hp_c,
+                            c_threshold=0.6, seed=10020, halo=halo)
+        return eng.run(hg0, traj, span=6, compare=False, growth_height=14.4)
+
+    res_single = run(None)
+    D = 4
+    mesh = mesh_mod.make_mesh([("gp", D)], n_devices=D)
+    res_halo = run((mesh, D))
+
+    assert res_halo["events_pred"] == res_single["events_pred"]
+    assert res_halo["num_grains_live"] == res_single["num_grains_live"]
+    np.testing.assert_allclose(
+        res_halo["misorientation"], res_single["misorientation"],
+        rtol=1e-4, atol=1e-5,
+    )

@@ -116,3 +116,29 @@ def test_rollout_jit_editor_meltpool(models):
     res = eng.run(hg0, traj, span=6, compare=False, meltpool=meltpool,
                   reconstruct=False)
     assert np.isfinite(res["misorientation"]).all()
+
+
+def test_clamp_gr_mitigation(models):
+    """--clamp_gr (VERDICT round-2 item 8): thermal features clamped to the
+    training hull must change inference on an out-of-hull case (G=4, R=1 vs
+    the hull point G=1.904, R=0.558) and leave an in-hull case untouched."""
+    rp, hp_r, cp, hp_c = models
+    traj = make_traj("periodic")
+    import copy
+
+    state0 = copy.deepcopy(traj.states[0])
+
+    def run(clamp):
+        traj.states[0] = copy.deepcopy(state0)
+        hg0 = extraction.make_test_sample(traj, span=6)
+        eng = RolloutEngine(rp, hp_r, cp, hp_c, c_threshold=0.99)
+        return eng.run(hg0, traj, span=6, compare=False, growth_height=4.8,
+                       clamp_gr=clamp)
+
+    res_off = run(None)
+    res_on = run((1.904, 1.904, 0.558, 0.558))
+    assert not np.allclose(res_on["misorientation"], res_off["misorientation"])
+    # clamping to a hull that already contains the case is a no-op
+    res_noop = run((0.0, 100.0, 0.0, 100.0))
+    np.testing.assert_allclose(
+        res_noop["misorientation"], res_off["misorientation"], rtol=1e-6)
