@@ -505,7 +505,6 @@ MAX_SWITCH = 24    # neighbor-switching budget per step
 MAX_ELIM = 8       # grain-elimination budget per step
 MAX_TWOSIDED = 8
 MAX_EXTRA = 2 * MAX_ELIM * (RING_MAX + 1)
-_PAIRS = [(i, j) for i in range(RING_MAX) for j in range(i + 1, RING_MAX)]
 
 
 def _ring_collapse(state: TopoState, g, y_grain, active_g=None):
@@ -530,32 +529,48 @@ def _ring_collapse(state: TopoState, g, y_grain, active_g=None):
         ).all()
         ok = ok & ring_active
 
-    ia = jnp.array([p[0] for p in _PAIRS])
-    ib = jnp.array([p[1] for p in _PAIRS])
+    # Ring-edge discovery without the 120-combination scan: a column is a
+    # ring edge iff BOTH endpoints lie in the (live) ring and the column is
+    # the canonical p1<p2 direction — two [RING_MAX, EP] membership
+    # compares replace 120 x 3 per-pair [EP]/[EQ] queries (the elimination
+    # path's dominant vector cost on packed multi-lane graphs). Found
+    # columns are re-ranked into the reference's combinations(Np, 2) order
+    # by their ring-slot pair so the darea tie-break order is identical.
+    lane_r = jnp.arange(RING_MAX)
+    live_slot = lane_r < ring_n
+    src_hit = (E_pp[0][None, :] == Np[:, None]) & live_slot[:, None]  # [R, EP]
+    dst_hit = (E_pp[1][None, :] == Np[:, None]) & live_slot[:, None]
+    cand_col = src_hit.any(0) & dst_hit.any(0) & (E_pp[0] < E_pp[1])
+    src_slot = jnp.argmax(src_hit, axis=0)
+    dst_slot = jnp.argmax(dst_hit, axis=0)
+    i_slot = jnp.minimum(src_slot, dst_slot)
+    j_slot = jnp.maximum(src_slot, dst_slot)
+    comb_rank = i_slot * (2 * RING_MAX - i_slot - 1) // 2 + (j_slot - i_slot - 1)
 
-    def pair_info(a, b):
-        pa, pb = Np[a], Np[b]
-        p1 = jnp.minimum(pa, pb)
-        p2 = jnp.maximum(pa, pb)
-        in_ring = (a < ring_n) & (b < ring_n)
-        e_idx = _nonzero((E_pp[0] == p1) & (E_pp[1] == p2), 1, EP - 1)[0]
-        exists = in_ring & ((E_pp[0] == p1) & (E_pp[1] == p2)).any()
-        nq1 = E_pq[1][_nonzero((E_pq[0] == p1) & (E_pq[1] != gs), 2, EQ - 1)]
-        nq2 = E_pq[1][_nonzero((E_pq[0] == p2) & (E_pq[1] != gs), 2, EQ - 1)]
-        first_in = (nq1[0] == nq2[0]) | (nq1[0] == nq2[1])
-        second_in = (nq1[1] == nq2[0]) | (nq1[1] == nq2[1])
-        nq = jnp.where(first_in, nq1[0], nq1[1])
-        resolvable = first_in | second_in
-        return e_idx, exists, nq, resolvable
+    cols = _nonzero(cand_col, RING_MAX, EP - 1)               # [R] edge cols
+    found = jnp.arange(RING_MAX) < cand_col.sum()
+    ranks = jnp.where(found, comb_rank[cols], jnp.int32(2**30))
+    order_c = jnp.argsort(ranks)
+    L2 = jnp.where(found, cols, EP - 1)[order_c]
 
-    e_idx, exists, nq, resolvable = jax.vmap(pair_info)(ia, ib)
-    ok = ok & jnp.where(exists, resolvable, True).all()
-
-    # compress existing pairs, preserving combination order
-    sel = _nonzero(exists, RING_MAX, len(_PAIRS) - 1)
-    L2 = e_idx[sel]
-    Nq = nq[sel]
-    n_l2 = exists.sum()
+    # shared grain neighbor per found edge (models.py:666-673) — one
+    # batched [R, EQ] query per endpoint
+    ep1 = E_pp[0][L2]
+    ep2 = E_pp[1][L2]
+    nq1_idx = jax.vmap(
+        lambda p: _nonzero((E_pq[0] == p) & (E_pq[1] != gs), 2, EQ - 1)
+    )(ep1)                                                    # [R, 2]
+    nq2_idx = jax.vmap(
+        lambda p: _nonzero((E_pq[0] == p) & (E_pq[1] != gs), 2, EQ - 1)
+    )(ep2)
+    nq1 = E_pq[1][nq1_idx]
+    nq2 = E_pq[1][nq2_idx]
+    first_in = (nq1[:, 0] == nq2[:, 0]) | (nq1[:, 0] == nq2[:, 1])
+    second_in = (nq1[:, 1] == nq2[:, 0]) | (nq1[:, 1] == nq2[:, 1])
+    Nq = jnp.where(first_in, nq1[:, 0], nq1[:, 1])
+    resolvable = first_in | second_in
+    n_l2 = cand_col.sum()
+    ok = ok & jnp.where(jnp.arange(RING_MAX) < n_l2, resolvable, True).all()
     ok = ok & (n_l2 == ring_n)
     # all shared grain neighbors distinct (models.py:683-684)
     lane = jnp.arange(RING_MAX)

@@ -22,13 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 parser = argparse.ArgumentParser()
 parser.add_argument("--seeds", type=int, nargs="+", default=[35, 101, 202, 303])
 parser.add_argument("--skip_train", action="store_true",
                     help="reuse saved members, just evaluate")
-parser.add_argument("--out", default="/root/repo/artifacts/40um/ensemble")
-parser.add_argument("--member_evals", action="store_true",
-                    help="also roll out each member individually")
+parser.add_argument("--out", default=os.path.join(REPO, "artifacts/40um/ensemble"))
+parser.add_argument("--data",
+                    default=os.path.join(REPO, "data_cache/graphs/train_seed10020.pkl"))
+parser.add_argument("--rawdat", default="/root/reference/rawdat_PF/40_40")
+parser.add_argument("--model_dir", default=os.path.join(REPO, "artifacts/40um"))
 args = parser.parse_args()
 
 from graingraphnn_tpu.data import extraction
@@ -38,8 +42,7 @@ from graingraphnn_tpu.models import grain_nn, hyper
 from graingraphnn_tpu.rollout.engine import RolloutEngine
 from graingraphnn_tpu.train import checkpoint, trainer
 
-DATA = "/root/repo/data_cache/graphs/train_seed10020.pkl"
-with open(DATA, "rb") as f:
+with open(args.data, "rb") as f:
     raw = pickle.load(f)
 sizes = [(r["feature_dicts"]["grain"].shape[0], r["feature_dicts"]["joint"].shape[0],
           int((r["edge_index_dicts"][schema.EDGE_TYPES[2]][0] > -1).sum())) for r in raw]
@@ -83,12 +86,12 @@ for s in args.seeds:
     print(f"member seed {s}: valid_loss {hist['valid_loss'][-1]:.6f} "
           f"({time.time()-t0:.0f}s)", flush=True)
 
-params_c, hp_c, extra_c = checkpoint.load("/root/repo/artifacts/40um/classifier1")
+params_c, hp_c, extra_c = checkpoint.load(os.path.join(args.model_dir, "classifier1"))
 thr_clean = float(extra_c.get("threshold_pr_optimal", extra_c.get("threshold", 0.6)))
 
 traj = extraction.TrajectoryExtractor(lxd=40, seed=10020, frames=121)
 traj.match_graph = False
-traj.extract("/root/reference/rawdat_PF/40_40", cache_dir="/root/repo/data_cache")
+traj.extract(args.rawdat, cache_dir=os.path.join(REPO, "data_cache"))
 _state0 = copy.deepcopy(traj.states[0])
 
 
@@ -108,11 +111,11 @@ report = {"members": args.seeds, "config": CFG,
           "ensemble_tuned_0.99": rollout(members, 0.99),
           "ensemble_clean_%.2f" % thr_clean: rollout(members, thr_clean)}
 print(json.dumps(report, indent=1), flush=True)
-if args.member_evals:
-    for s, p in zip(args.seeds, members):
-        report[f"member_s{s}_tuned_0.99"] = rollout(p, 0.99)
-        print(f"member_s{s}:", json.dumps(report[f"member_s{s}_tuned_0.99"]),
-              flush=True)
+# member evals are always included so reruns never silently drop keys
+for s, p in zip(args.seeds, members):
+    report[f"member_s{s}_tuned_0.99"] = rollout(p, 0.99)
+    print(f"member_s{s}:", json.dumps(report[f"member_s{s}_tuned_0.99"]),
+          flush=True)
 print(json.dumps(report, indent=1), flush=True)
-with open("/root/repo/artifacts/40um/ENSEMBLE.json", "w") as f:
+with open(os.path.join(args.model_dir, "ENSEMBLE.json"), "w") as f:
     json.dump(report, f, indent=1)

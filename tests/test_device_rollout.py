@@ -305,3 +305,31 @@ def test_batched_scan_matches_single_rollouts(setup):
         np.testing.assert_allclose(
             np.asarray(stb.xg[i, :ng]), np.asarray(st1.xg), atol=2e-5)
         assert (np.asarray(stb.mask_g[i, :ng]) == np.asarray(st1.mask_g)).all()
+
+
+def test_packed_scan_matches_single_rollouts(setup):
+    """pack_states (block-diagonal multi-lane graph) + scaled editor
+    budgets advance B independent rollouts exactly as B single scans —
+    the single-graph code path, no vmapped gathers."""
+    rp, hp_r, cp, hp_c, hg0 = setup
+    traj2 = make_traj(seed=7)
+    hg2 = extraction.make_test_sample(traj2, span=6)
+    singles = [dr.state_from_heterograph(hg0), dr.state_from_heterograph(hg2)]
+    packed = dr.pack_states(singles)
+    B = len(singles)
+    runp = dr.make_rollout_scan(
+        rp, hp_r, cp, hp_c, n_steps=3, c_threshold=0.9,
+        max_elim=tj.MAX_ELIM * B, max_switch=tj.MAX_SWITCH * B)
+    stp, auxp = runp(packed)
+    assert not bool(np.asarray(auxp["ring_overflow"]).any())
+    assert not bool(np.asarray(auxp["pp_overflow"]).any())
+    run1 = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=3, c_threshold=0.9)
+    off = 0
+    for i, s in enumerate(singles):
+        st1, _ = run1(s)
+        ng = st1.xg.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(stp.xg[off:off + ng]), np.asarray(st1.xg), atol=2e-5)
+        assert (np.asarray(stp.mask_g[off:off + ng])
+                == np.asarray(st1.mask_g)).all()
+        off += ng
