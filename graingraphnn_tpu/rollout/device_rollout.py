@@ -98,6 +98,47 @@ def build_ell_sorted(src, dst, attr, num_dst: int, max_deg: int):
     )
 
 
+def build_ell_deg3(src, dst, attr, num_dst: int, max_deg: int):
+    """Exact-order ELL build for destinations of degree <= 3, without the
+    argsort. slot(e) = rank of e among live edges sharing its destination
+    (ascending edge id) — recovered from per-destination min/max edge ids
+    plus counts, which is complete for degree <= 3 (the junction degree-3
+    invariant, reference graph_trajectory.py:985-988). Bit-identical output
+    to build_ell_sorted at O(E) scatter cost instead of O(E log^2 E)
+    bitonic-sort passes (the sort is ~40% of the 40 um step,
+    artifacts/STEP_BREAKDOWN.json).
+
+    `overflow` trips when any destination's live degree exceeds max_deg;
+    a degree > 3 also trips it (the slot ranking is then incomplete), so
+    callers' existing sync-point checks cover both."""
+    assert max_deg >= 3, "deg-3 builder requires capacity >= 3"
+    E = src.shape[0]
+    live = (src >= 0) & (dst >= 0)
+    d = jnp.where(live, dst, num_dst).astype(jnp.int32)
+    eid = jnp.arange(E, dtype=jnp.int32)
+    BIG = jnp.int32(2**30)
+    rows = num_dst + 1
+    mn = jnp.full(rows, BIG, jnp.int32).at[d].min(jnp.where(live, eid, BIG))
+    mx = jnp.full(rows, -1, jnp.int32).at[d].max(jnp.where(live, eid, -1))
+    cnt = jnp.zeros(rows, jnp.int32).at[d].add(live.astype(jnp.int32))
+    is_mn = eid == mn[d]
+    is_mx = eid == mx[d]
+    slot = jnp.where(is_mn, 0, jnp.where(is_mx, cnt[d] - 1, 1))
+    ok = live & (slot < max_deg)
+    flat = jnp.where(ok, d * max_deg + slot, num_dst * max_deg)
+    size = num_dst * max_deg + 1
+    nbr = jnp.zeros(size, jnp.int32).at[flat].set(src.astype(jnp.int32))
+    length = jnp.zeros(size, jnp.float32).at[flat].set(attr.astype(jnp.float32))
+    mask = jnp.zeros(size, jnp.float32).at[flat].set(jnp.where(ok, 1.0, 0.0))
+    overflow = (cnt[:num_dst] > min(max_deg, 3)).any()
+    return (
+        nbr[:-1].reshape(num_dst, max_deg),
+        length[:-1].reshape(num_dst, max_deg),
+        mask[:-1].reshape(num_dst, max_deg),
+        overflow,
+    )
+
+
 def _coo_lengths(pos_src, pos_dst, src, dst):
     """Periodic edge lengths for a padded COO list (test.py:560-575 rebuilds
     these on host every step)."""
@@ -116,10 +157,10 @@ def make_sample(state: DeviceRolloutState, ring: int = tj.RING_MAX):
     pq_len = _coo_lengths(pos_j, pos_g, state.E_pq[0], state.E_pq[1])
     pp_len = _coo_lengths(pos_j, pos_j, state.E_pp[0], state.E_pp[1])
 
-    push_nbr, push_len, push_mask, _ = build_ell_sorted(
+    push_nbr, push_len, push_mask, _ = build_ell_deg3(
         state.E_pq[1], state.E_pq[0], pq_len, NJ, schema.JG_DEGREE
     )
-    connect_nbr, connect_len, connect_mask, _ = build_ell_sorted(
+    connect_nbr, connect_len, connect_mask, _ = build_ell_deg3(
         state.E_pp[0], state.E_pp[1], pp_len, NJ, schema.JJ_DEGREE
     )
     pull_nbr, pull_len, pull_mask, overflow = build_ell_sorted(
@@ -213,10 +254,19 @@ def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold,
 def compact_stage(E_pp_in):
     """Compact E_pp so the append cursor never outgrows the fixed capacity
     (the host engine drops dead columns each step, engine.py:106-112).
-    Returns (E_pp, n_pp)."""
+    Returns (E_pp, n_pp).
+
+    Stable two-sided partition via prefix sums + one scatter — identical
+    output to argsort(~live, stable) without the bitonic sort
+    (associative_scan keeps the prefix sum log-depth on TPU; plain cumsum
+    can lower to a quadratic reduce_window)."""
     livec = E_pp_in[0] >= 0
-    ordc = jnp.argsort(~livec, stable=True)
-    return E_pp_in[:, ordc], livec.sum().astype(jnp.int32)
+    n_live = livec.sum().astype(jnp.int32)
+    c_live = jax.lax.associative_scan(jnp.add, livec.astype(jnp.int32))
+    c_dead = jax.lax.associative_scan(jnp.add, (~livec).astype(jnp.int32))
+    pos = jnp.where(livec, c_live - 1, n_live + c_dead - 1)
+    out = jnp.zeros_like(E_pp_in).at[:, pos].set(E_pp_in)
+    return out, n_live
 
 
 def centers_stage(xg, xj, E_pq, ring):

@@ -73,6 +73,50 @@ def test_build_ell_sorted_matches_host():
     np.testing.assert_allclose(np.asarray(d_len), h_len, rtol=1e-6)
 
 
+def test_build_ell_deg3_matches_sorted():
+    """The O(E) min/max-scatter builder must be bit-identical to the sorted
+    builder on degree<=3 COO lists (the jj/jg invariant), including dead
+    sentinels and interleaved column order."""
+    rng = np.random.default_rng(1)
+    num_dst, K = 53, 3
+    cols = []
+    for d in range(num_dst):
+        for _ in range(rng.integers(0, 4)):
+            cols.append((rng.integers(0, 80), d))
+    rng.shuffle(cols)
+    src = np.array([c[0] for c in cols], np.int32)
+    dst = np.array([c[1] for c in cols], np.int32)
+    dead = rng.uniform(size=len(cols)) < 0.25
+    src[dead] = -1
+    dst[dead] = -1
+    attr = rng.uniform(0.1, 1.0, len(cols)).astype(np.float32)
+
+    a = dr.build_ell_sorted(jnp.asarray(src), jnp.asarray(dst),
+                            jnp.asarray(attr), num_dst, K)
+    b = dr.build_ell_deg3(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(attr), num_dst, K)
+    assert not bool(a[3]) and not bool(b[3])
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_build_ell_deg3_flags_overflow():
+    src = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    dst = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    *_, overflow = dr.build_ell_deg3(src, dst, jnp.ones(4), 2, 4)
+    assert bool(overflow)  # degree 4 > 3: slot ranking incomplete
+
+
+def test_compact_stage_matches_stable_argsort():
+    rng = np.random.default_rng(2)
+    E_pp = rng.integers(0, 100, (2, 64)).astype(np.int32)
+    E_pp[0, rng.uniform(size=64) < 0.4] = -1
+    out, n = dr.compact_stage(jnp.asarray(E_pp))
+    ordc = np.argsort(E_pp[0] < 0, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out), E_pp[:, ordc])
+    assert int(n) == int((E_pp[0] >= 0).sum())
+
+
 def test_build_ell_sorted_flags_overflow():
     src = jnp.asarray([1, 2, 3, 4], jnp.int32)
     dst = jnp.asarray([0, 0, 0, 0], jnp.int32)
