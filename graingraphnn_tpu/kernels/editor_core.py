@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from ..rollout import topology_jit as tj
 
 RING = tj.RING_MAX
-BIG = jnp.int32(2**30)
+# plain int (NOT jnp.int32): a module-level jnp scalar would be captured as
+# a constant by pallas_call, which Mosaic rejects
+BIG = 2**30
 
 
 def _io(n):
@@ -115,17 +117,20 @@ def _order_asc(keys, k):
     iok = _ioc(k)
     order = jnp.zeros((k, 1), jnp.int32)
 
+    # `taken` carried as int32: Mosaic cannot carry i1 vectors through
+    # scf.for (same for every loop-carried mask below)
     def body(i, carry):
         order, taken = carry
-        masked = jnp.where(taken, jnp.inf, keys)
+        free = taken == 0
+        masked = jnp.where(free, keys, jnp.inf)
         m = jnp.min(masked)
-        idx = jnp.min(jnp.where((masked == m) & ~taken, iok, BIG))
+        idx = jnp.min(jnp.where((masked == m) & free, iok, BIG))
         order = jnp.where(iok == i, idx, order)
-        taken = taken | (iok == idx)
+        taken = jnp.where(iok == idx, 1, taken)
         return order, taken
 
     order, _ = jax.lax.fori_loop(
-        0, k, body, (order, jnp.zeros((k, 1), bool)))
+        0, k, body, (order, jnp.zeros((k, 1), jnp.int32)))
     return order
 
 
@@ -438,7 +443,10 @@ def _ring_collapse(st, g, y_g0):
     second_in = (nq1_1 == nq2_0) | (nq1_1 == nq2_1)
     Nq = jnp.where(first_in, nq1_0, nq1_1)
     resolvable = first_in | second_in
-    ok = ok & jnp.all(jnp.where(found, resolvable, True))
+    # int-form all(where(found, resolvable, True)): Mosaic cannot lower a
+    # bool select on [RING, 1] columns (i8->i1 trunci)
+    n_unresolved = jnp.sum((found & ~resolvable).astype(jnp.int32))
+    ok = ok & (n_unresolved == 0)
     ok = ok & (n_l2 == ring_n)
 
     # all shared grain neighbors distinct (models.py:683-684)
@@ -474,7 +482,9 @@ def _two_sided_cleanup(st, num_grains: int, budget: int):
     pq1 = st[3]
     NG = num_grains
     live = pq1 >= 0
-    bad = jnp.zeros((1, NG), bool)
+    # int32 marker row, not bool: Mosaic cannot lower a select that WRITES
+    # a bool vector (i8->i1 trunci); bool compares as select masks are fine
+    bad = jnp.zeros((1, NG), jnp.int32)
     io128 = _ioc(128)
     iog = _io(NG)
     nchunks = -(-NG // 128)
@@ -486,10 +496,10 @@ def _two_sided_cleanup(st, num_grains: int, budget: int):
         isbad = (cnt > 0) & (cnt <= 2)
         oh = iog == ids                               # [128, NG]
         return jnp.where(jnp.any(oh & isbad, axis=0, keepdims=True),
-                         True, bad)
+                         1, bad)
 
     bad = jax.lax.fori_loop(0, nchunks, cbody, bad)
-    targets = _first_k_col(bad, budget, -1)
+    targets = _first_k_col(bad > 0, budget, -1)
     iob = _io(budget)
 
     def body(k, carry):
@@ -531,17 +541,18 @@ def editor_core(pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj,
 
     def sel_body(k, carry):
         L1, taken = carry
-        masked = jnp.where(cand & ~taken, prob, -jnp.inf)
+        free = cand & (taken == 0)
+        masked = jnp.where(free, prob, -jnp.inf)
         m = jnp.max(masked)
-        idx = jnp.min(jnp.where((masked == m) & cand & ~taken, ioe, BIG))
+        idx = jnp.min(jnp.where((masked == m) & free, ioe, BIG))
         pick = k < n_cand
         L1 = jnp.where(ioms == k, jnp.where(pick, idx, -1), L1)
-        taken = taken | (pick & (ioe == idx))
+        taken = jnp.where(pick & (ioe == idx), 1, taken)
         return L1, taken
 
     L1, _ = jax.lax.fori_loop(
         0, MS, sel_body,
-        (jnp.full((MS, 1), -1, jnp.int32), jnp.zeros((1, EP), bool)))
+        (jnp.full((MS, 1), -1, jnp.int32), jnp.zeros((1, EP), jnp.int32)))
 
     st = (pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj, ptr)
     extra = jnp.full((1, max_extra), -1, jnp.int32)

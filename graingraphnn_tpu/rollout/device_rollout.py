@@ -237,14 +237,28 @@ def elim_candidates(state, area, r_threshold, max_elim: int = tj.MAX_ELIM):
 
 
 def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold,
-               max_switch: int = tj.MAX_SWITCH):
-    """<3b> jit topology editor. Returns (tstate, switching, extra)."""
+               max_switch: int = tj.MAX_SWITCH, fused: bool = False):
+    """<3b> jit topology editor. Returns (tstate, switching, extra).
+
+    fused=True routes through the single-launch editor
+    (kernels.editor_pallas.update_fused): on TPU the whole update runs as
+    ONE Pallas kernel with the graph state VMEM-resident (the HLO editor
+    pays per-op dispatch on hundreds of tiny gathers), on other backends
+    the identical core lowers to plain XLA. Oracle-equal to update_jit
+    (tests/test_editor_fused.py)."""
     jj_live = state.E_pp[0] >= 0
     logits = jnp.where(jj_live, edge_logits, NEG)
     tstate = tj.TopoState(
         E_pp=state.E_pp, E_pq=state.E_pq, xj=xj, y_joint=pred_j,
         mask_g=state.mask_g, mask_j=state.mask_j, append_ptr=state.n_pp,
     )
+    if fused:
+        from ..kernels import editor_pallas
+        use_pallas = jax.devices()[0].platform == "tpu"
+        return editor_pallas.update_fused(
+            tstate, logits, ge, pred_g, c_threshold, xg.shape[0],
+            max_switch=max_switch, use_pallas=use_pallas,
+        )
     return tj.update_jit(
         tstate, logits, ge, pred_g, c_threshold, xg.shape[0],
         max_switch=max_switch,
@@ -297,6 +311,7 @@ def device_step(
     ring: int = tj.RING_MAX,
     max_elim: int = tj.MAX_ELIM,
     max_switch: int = tj.MAX_SWITCH,
+    fused_editor: bool = False,
 ) -> tuple[DeviceRolloutState, Dict]:
     """One rollout span advance, fully traced (steps <1>-<5> of
     rollout.engine.run), composed from the stage functions above. Returns
@@ -317,7 +332,7 @@ def device_step(
                                  max_elim)
     tstate, switching, extra = edit_stage(
         state, xg, xj, pred_j, pred_g, y_c["edge_event"], ge, c_threshold,
-        max_switch,
+        max_switch, fused=fused_editor,
     )
     xj = tstate.xj
     E_pp, n_pp = compact_stage(tstate.E_pp)
@@ -356,6 +371,7 @@ def make_rollout_scan(
     pallas: bool = False,
     max_elim: int = tj.MAX_ELIM,
     max_switch: int = tj.MAX_SWITCH,
+    fused_editor: bool = False,
 ):
     """Jitted n_steps-span rollout: state -> (state, aux-per-step). One
     compile per (capacity, n_steps); zero host transfers inside.
@@ -363,7 +379,11 @@ def make_rollout_scan(
     pallas=True runs the model forwards through the fused bf16 Pallas conv
     (kernels.edge_stage) — ~1.3-1.7x faster per conv on TPU, with bf16
     forward noise (~1e-4 mean relative); the fp32 XLA path is the
-    QoI-parity default."""
+    QoI-parity default.
+
+    fused_editor=True runs the topology update as one Pallas kernel
+    (kernels.editor_pallas) — bit-identical edits (oracle-tested), no
+    numerics tradeoff; composes with either forward."""
     from ..ops import period_conv
 
     @jax.jit
@@ -379,6 +399,7 @@ def make_rollout_scan(
                     r_threshold=r_threshold, c_threshold=c_threshold,
                     span=span, ring=ring,
                     max_elim=max_elim, max_switch=max_switch,
+                    fused_editor=fused_editor,
                 )
                 return st, aux
 
