@@ -76,7 +76,8 @@ def _check_capacity(aux):
             )
 
 
-def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False):
+def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False,
+                  fused_editor: bool = True):
     import jax
 
     from graingraphnn_tpu.rollout import device_rollout as dr
@@ -87,7 +88,7 @@ def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False):
     st = _real_state(lxd)
     run = dr.make_rollout_scan(
         params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99,
-        pallas=pallas,
+        pallas=pallas, fused_editor=fused_editor,
     )
     # warmup includes the aux device->host pull: the tunneled TPU pays a
     # large one-time cost on a program's first D2H
@@ -123,6 +124,7 @@ def bench_rollout_batched(lxd: int, B: int = 8, n_steps: int = 20,
     run = dr.make_rollout_scan(
         params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99,
         pallas=pallas, max_elim=tj.MAX_ELIM * B, max_switch=tj.MAX_SWITCH * B,
+        fused_editor=True,
     )
     st2, aux = run(st)
     _check_capacity(aux)
@@ -243,10 +245,14 @@ def bench_train():
 
 
 def main():
-    # fp32 headlines: the bf16 Pallas conv wins 1.3-1.7x per conv but the
-    # step is editor-bound (end-to-end ~1.01x) and bf16 noise flips
-    # threshold-adjacent events (event Jaccard 0.95-0.98 across 5 cases,
-    # artifacts/pallas_rollout_ab.json) — all QoI-bearing numbers run fp32
+    # All rollout rows run the fused single-launch Pallas editor
+    # (kernels/editor_pallas): BIT-IDENTICAL edits to the HLO editor
+    # (tests/test_editor_fused.py, scripts/packed_fused_check.py), ~2x
+    # end-to-end — no numerics tradeoff, so it headlines.
+    # Forward stays fp32 XLA: the bf16 Pallas conv wins 1.3-1.7x per conv
+    # but bf16 noise flips threshold-adjacent events (event Jaccard
+    # 0.95-0.98 across 5 cases, artifacts/pallas_rollout_ab.json) — all
+    # QoI-bearing numbers keep the fp32 forward.
     rollout_120, ms_120 = bench_rollout(120, pallas=False)
     rollout_120_pl, ms_120_pl = bench_rollout(120, pallas=True)
     rollout_40, ms_40 = bench_rollout(40, pallas=False)
@@ -260,9 +266,12 @@ def main():
                 "unit": "edges/s",
                 "vs_baseline": round(rollout_120 / REFERENCE_ROLLOUT_EDGES_PER_S, 1),
                 "rollout_ms_per_step_120um": round(ms_120, 2),
-                "rollout_kernel": "fp32 XLA (QoI-parity; see pallas keys)",
-                "rollout_120um_pallas_edges_per_s": round(rollout_120_pl, 1),
-                "rollout_ms_per_step_120um_pallas": round(ms_120_pl, 2),
+                "rollout_kernel": "fp32 XLA forward + fused Pallas editor "
+                                  "(bit-identical edits; QoI-parity)",
+                "rollout_120um_bf16_pallas_fwd_edges_per_s": round(
+                    rollout_120_pl, 1),
+                "rollout_ms_per_step_120um_bf16_pallas_fwd": round(
+                    ms_120_pl, 2),
                 "rollout_40um_edges_per_s": round(rollout_40, 1),
                 "rollout_40um_vs_baseline": round(
                     rollout_40 / REFERENCE_ROLLOUT_EDGES_PER_S, 1

@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--pallas", action="store_true",
                    help="device_resident only: fused bf16 Pallas convs")
+    p.add_argument("--fused_editor", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="device_resident only: single-launch Pallas topology "
+                        "editor (bit-identical edits, ~2x step time on TPU); "
+                        "auto = on for TPU backends")
     p.add_argument("--clamp_gr", type=str, default="",
                    help="'Gmin,Gmax,Rmin,Rmax': clamp thermal features to "
                         "the training hull before inference (off by "
@@ -83,6 +88,8 @@ def main(argv=None):
             span=args.span or 6, c_threshold=c_threshold,
             eval_every=args.eval_every, compare=args.compare,
             growth_height=args.growth_height, pallas=args.pallas,
+            fused_editor={"auto": None, "on": True, "off": False}[
+                args.fused_editor],
             verbose=args.verbose,
         )
     else:

@@ -126,6 +126,12 @@ def update_fused(
             in_specs=[smem, smem] + [vmem] * 13,
             out_specs=[vmem] * 10 + [smem] + [vmem] * 3,
             interpret=interpret,
+            # the whole graph state lives in VMEM for the kernel's duration;
+            # at packed-batch scales (B lanes concatenated) the footprint
+            # passes the 16M default scoped limit — v5e has 128MiB physical
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
         )(
             jnp.asarray(state.append_ptr, jnp.int32).reshape(1, 1),
             jnp.asarray(threshold, jnp.float32).reshape(1, 1),

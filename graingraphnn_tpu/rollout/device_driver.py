@@ -94,8 +94,16 @@ def run_device_resident(
     growth_height: float = -1.0,
     reconst_mesh_size: float = 0.08,
     pallas: bool = False,
+    fused_editor: bool | None = None,
     verbose: bool = False,
 ) -> Dict:
+    # fused_editor=None: auto — the single-launch Pallas editor
+    # (kernels.editor_pallas, bit-identical edits, ~2x step time) on TPU;
+    # the HLO editor elsewhere (the fused core also runs as plain XLA but
+    # costs more compile time than it saves on CPU)
+    if fused_editor is None:
+        import jax
+        fused_editor = jax.devices()[0].platform == "tpu"
     if traj.BC != "periodic":
         raise ValueError("device-resident rollout covers periodic BC; "
                          "use the host engine for noflux")
@@ -176,6 +184,7 @@ def run_device_resident(
         reg_params, hp_r, cls_params, hp_c,
         n_steps=eval_every, r_threshold=r_threshold,
         c_threshold=c_threshold, span=span, pallas=pallas,
+        fused_editor=fused_editor,
     )
 
     if compare:

@@ -98,6 +98,50 @@ def build_ell_sorted(src, dst, attr, num_dst: int, max_deg: int):
     )
 
 
+def build_ell_rank(src, dst, attr, num_dst: int, max_deg: int):
+    """Sort-free ELL build for arbitrary degree <= max_deg: k successive
+    per-destination scatter-min passes over the (unique) edge ids assign
+    slot k to the k-th smallest live edge id of each destination — the
+    exact slot order of build_ell_sorted (ascending edge id within dst),
+    bit-identical output, at max_deg O(E) passes instead of the argsort's
+    ~log^2 E bitonic passes (E ~ 6.7k at the 120 um scale -> ~91 tiny
+    kernels; the sort dominated the 'sample' stage of
+    artifacts/STEP_BREAKDOWN.json). Same return/overflow contract."""
+    E = src.shape[0]
+    live = (src >= 0) & (dst >= 0)
+    d = jnp.where(live, dst, num_dst).astype(jnp.int32)
+    eid = jnp.arange(E, dtype=jnp.int32)
+    BIG = jnp.int32(2**30)
+    rows = num_dst + 1
+    remaining = jnp.where(live, eid, BIG)
+    slot0 = jnp.full(E, max_deg, jnp.int32)
+
+    def body(k, carry):
+        slot, remaining = carry
+        mn = jnp.full(rows, BIG, jnp.int32).at[d].min(remaining)
+        # consumed/dead edges carry remaining == BIG; a fully-consumed
+        # destination also has mn == BIG, so guard on remaining < BIG
+        is_k = (remaining == mn[d]) & (remaining < BIG)
+        slot = jnp.where(is_k, k, slot)
+        remaining = jnp.where(is_k, BIG, remaining)
+        return slot, remaining
+
+    slot, _ = jax.lax.fori_loop(0, max_deg, body, (slot0, remaining))
+    ok = live & (slot < max_deg)
+    flat = jnp.where(ok, d * max_deg + slot, num_dst * max_deg)
+    size = num_dst * max_deg + 1
+    nbr = jnp.zeros(size, jnp.int32).at[flat].set(src.astype(jnp.int32))
+    length = jnp.zeros(size, jnp.float32).at[flat].set(attr.astype(jnp.float32))
+    mask = jnp.zeros(size, jnp.float32).at[flat].set(jnp.where(ok, 1.0, 0.0))
+    overflow = (live & ~ok).any()
+    return (
+        nbr[:-1].reshape(num_dst, max_deg),
+        length[:-1].reshape(num_dst, max_deg),
+        mask[:-1].reshape(num_dst, max_deg),
+        overflow,
+    )
+
+
 def build_ell_deg3(src, dst, attr, num_dst: int, max_deg: int):
     """Exact-order ELL build for destinations of degree <= 3, without the
     argsort. slot(e) = rank of e among live edges sharing its destination
@@ -163,7 +207,7 @@ def make_sample(state: DeviceRolloutState, ring: int = tj.RING_MAX):
     connect_nbr, connect_len, connect_mask, _ = build_ell_deg3(
         state.E_pp[0], state.E_pp[1], pp_len, NJ, schema.JJ_DEGREE
     )
-    pull_nbr, pull_len, pull_mask, overflow = build_ell_sorted(
+    pull_nbr, pull_len, pull_mask, overflow = build_ell_rank(
         state.E_pq[0], state.E_pq[1], pq_len, NG, ring
     )
 
@@ -287,7 +331,7 @@ def centers_stage(xg, xj, E_pq, ring):
     """<5> grain centers from the post-edit junction rings (test.py:556-559;
     see module docstring for the wrap-invariant deviation)."""
     NG = xg.shape[0]
-    nbr, _len, rmask, _ = build_ell_sorted(
+    nbr, _len, rmask, _ = build_ell_rank(
         E_pq[0], E_pq[1], jnp.zeros(E_pq.shape[1], jnp.float32), NG, ring,
     )
     ring_pos = xj[nbr, :2]
@@ -521,19 +565,27 @@ def make_rollout_scan_batched(
     span: int = 6,
     ring: int = tj.RING_MAX,
     pallas: bool = False,
+    fused_editor: bool = False,
 ):
     """Jitted scan of B independent rollouts advanced together by one
     vmapped device_step — the chip-filling configuration (VERDICT round-2
     item 2: ensemble members x seeds x (G,R) grid in one launch). Takes a
     stack_states()-batched state; aux arrays gain a [B] axis after the
-    step axis."""
+    step axis.
+
+    fused_editor=True is the intended TPU configuration: vmap of the
+    single-launch Pallas editor becomes a grid dimension — B independent
+    kernel instances, each with single-lane budgets and vector widths. A
+    block-diagonal pack_states graph instead scales the editor's serial
+    chains AND its vector length by B (~B^2 editor cost — measured 140
+    ms/step vs this path at the 8x120um scale)."""
     from ..ops import period_conv
 
     def step(st):
         return device_step(
             reg_params, hp_r, cls_params, hp_c, st,
             r_threshold=r_threshold, c_threshold=c_threshold,
-            span=span, ring=ring,
+            span=span, ring=ring, fused_editor=fused_editor,
         )
 
     @jax.jit

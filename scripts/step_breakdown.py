@@ -46,7 +46,7 @@ R_THRESHOLD = 1e-4
 SPAN = 6
 
 
-def _variants(rp, hp_r, cp, hp_c, ring):
+def _variants(rp, hp_r, cp, hp_c, ring, fused=False):
     """Each returns (state, leak_scalar); `leak` is folded into the state
     through the runtime zero so nothing is dead code."""
 
@@ -75,7 +75,7 @@ def _variants(rp, hp_r, cp, hp_c, ring):
         ge, n_cand = dr.elim_candidates(st, y_r["grain_area"], R_THRESHOLD)
         tstate, switching, extra = dr.edit_stage(
             st, xg, xj, y_r["joint"], y_r["grain"], y_c["edge_event"],
-            ge, C_THRESHOLD)
+            ge, C_THRESHOLD, fused=fused)
         st = dr.DeviceRolloutState(
             xg=xg, xj=tstate.xj, E_pp=tstate.E_pp, E_pq=tstate.E_pq,
             mask_g=tstate.mask_g, mask_j=tstate.mask_j,
@@ -86,7 +86,7 @@ def _variants(rp, hp_r, cp, hp_c, ring):
         st, aux = dr.device_step(
             rp, hp_r, cp, hp_c, st,
             r_threshold=R_THRESHOLD, c_threshold=C_THRESHOLD,
-            span=SPAN, ring=ring)
+            span=SPAN, ring=ring, fused_editor=fused)
         return st, aux["message_edges"]
 
     return {"sample": v_sample, "forward": v_forward,
@@ -124,12 +124,12 @@ def time_variant(fn, st, n_steps, pallas):
     return dt / n_steps * 1e3
 
 
-def breakdown(lxd, rp, hp_r, cp, hp_c, n_steps, pallas):
+def breakdown(lxd, rp, hp_r, cp, hp_c, n_steps, pallas, fused=False):
     import bench
 
     st = bench._real_state(lxd)
     ring = tj.RING_MAX
-    fns = _variants(rp, hp_r, cp, hp_c, ring)
+    fns = _variants(rp, hp_r, cp, hp_c, ring, fused=fused)
     t = {k: time_variant(fn, st, n_steps, pallas) for k, fn in fns.items()}
     comp = {
         "ell_rebuild_ms": t["sample"],
@@ -142,7 +142,8 @@ def breakdown(lxd, rp, hp_r, cp, hp_c, n_steps, pallas):
     pct = {k.replace("_ms", "_pct"): round(100 * v / total, 1)
            for k, v in comp.items()}
     return {
-        "lxd": lxd, "pallas": pallas, "ms_per_step": round(total, 3),
+        "lxd": lxd, "pallas": pallas, "fused_editor": fused,
+        "ms_per_step": round(total, 3),
         "cumulative_ms": {k: round(v, 3) for k, v in t.items()},
         "components_ms": {k: round(v, 3) for k, v in comp.items()},
         "components_pct": pct,
@@ -161,8 +162,10 @@ def main():
 
     rows = []
     for lxd in (40, 120):
-        for pallas in (False, True):
-            r = breakdown(lxd, rp, hp_r, cp, hp_c, args.steps, pallas)
+        # (pallas_fwd, fused_editor): HLO baseline, the shipped fused-editor
+        # config (bench headline), and fused editor + bf16 Pallas forward
+        for pallas, fused in ((False, False), (False, True), (True, True)):
+            r = breakdown(lxd, rp, hp_r, cp, hp_c, args.steps, pallas, fused)
             rows.append(r)
             print(json.dumps(r))
     out = {

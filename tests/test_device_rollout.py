@@ -125,6 +125,40 @@ def test_build_ell_sorted_flags_overflow():
     assert bool(overflow)
 
 
+def test_build_ell_rank_matches_sorted():
+    """The max_deg-pass scatter-min builder (the shipped pull/centers path)
+    must be bit-identical to the argsort builder on arbitrary-degree COO
+    lists, including dead sentinels and interleaved column order."""
+    rng = np.random.default_rng(3)
+    num_dst, K = 41, 7
+    cols = []
+    for d in range(num_dst):
+        for _ in range(rng.integers(0, K + 1)):
+            cols.append((rng.integers(0, 90), d))
+    rng.shuffle(cols)
+    src = np.array([c[0] for c in cols], np.int32)
+    dst = np.array([c[1] for c in cols], np.int32)
+    dead = rng.uniform(size=len(cols)) < 0.25
+    src[dead] = -1
+    dst[dead] = -1
+    attr = rng.uniform(0.1, 1.0, len(cols)).astype(np.float32)
+
+    a = dr.build_ell_sorted(jnp.asarray(src), jnp.asarray(dst),
+                            jnp.asarray(attr), num_dst, K)
+    b = dr.build_ell_rank(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(attr), num_dst, K)
+    assert not bool(a[3]) and not bool(b[3])
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_build_ell_rank_flags_overflow():
+    src = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    dst = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    *_, overflow = dr.build_ell_rank(src, dst, jnp.ones(4), 2, 3)
+    assert bool(overflow)
+
+
 def test_make_sample_matches_host_builder(setup):
     rp, hp_r, cp, hp_c, hg0 = setup
     st = dr.state_from_heterograph(hg0)
