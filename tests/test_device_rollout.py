@@ -411,3 +411,33 @@ def test_packed_scan_matches_single_rollouts(setup):
         assert (np.asarray(stp.mask_g[off:off + ng])
                 == np.asarray(st1.mask_g)).all()
         off += ng
+
+
+def test_build_ell_rank_scatter_min_fallback_matches(monkeypatch):
+    """Force the packed-scale scatter-min path and assert it equals the
+    crossbar path / argsort builder."""
+    rng = np.random.default_rng(4)
+    num_dst, K, E = 29, 5, 120
+    src = rng.integers(0, 60, E).astype(np.int32)
+    dst = rng.integers(0, num_dst, E).astype(np.int32)
+    dead = rng.uniform(size=E) < 0.3
+    src[dead] = -1
+    dst[dead] = -1
+    # cap degrees at K
+    fill = np.zeros(num_dst, int)
+    for i in range(E):
+        if src[i] >= 0:
+            if fill[dst[i]] >= K:
+                src[i] = -1
+                dst[i] = -1
+            else:
+                fill[dst[i]] += 1
+    attr = rng.uniform(0.1, 1.0, E).astype(np.float32)
+    a = dr.build_ell_sorted(jnp.asarray(src), jnp.asarray(dst),
+                            jnp.asarray(attr), num_dst, K)
+    monkeypatch.setattr(dr, "_CROSSBAR_MAX_E", 0)
+    b = dr.build_ell_rank(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(attr), num_dst, K)
+    assert not bool(a[3]) and not bool(b[3])
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

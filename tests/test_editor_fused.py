@@ -100,6 +100,35 @@ def test_fused_elim_only():
     _assert_equal(a, b)
 
 
+def test_fused_vmap_lanes_int_exact():
+    """vmap of update_fused (the batched-rollout configuration: one grid
+    instance per lane) must match per-lane calls exactly — lanes share no
+    state, so batching cannot change any edit decision."""
+    import jax
+
+    lanes = [_scenario(s) for s in (11, 12, 13)]
+    state0 = lanes[0][0]
+    states = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[ln[0] for ln in lanes])
+    lp = jnp.stack([ln[1] for ln in lanes])
+    ge = jnp.stack([ln[2] for ln in lanes])
+    yg = jnp.stack([ln[3] for ln in lanes])
+    ng = lanes[0][4]
+
+    def ed(st, l, g, y):
+        return epal.update_fused(st, l, g, y, 0.6, ng, use_pallas=False)
+
+    sB, swB, exB = jax.vmap(ed)(states, lp, ge, yg)
+    for k, ln in enumerate(lanes):
+        s1, sw1, ex1 = ed(ln[0], ln[1], ln[2], ln[3])
+        np.testing.assert_array_equal(
+            np.asarray(s1.E_pp), np.asarray(sB.E_pp)[k])
+        np.testing.assert_array_equal(
+            np.asarray(s1.mask_g), np.asarray(sB.mask_g)[k])
+        np.testing.assert_array_equal(np.asarray(sw1), np.asarray(swB)[k])
+        np.testing.assert_array_equal(np.asarray(ex1), np.asarray(exB)[k])
+
+
 def test_fused_noop_step():
     state, _lp, _ge, yg, ng = _scenario(2, n_switch=0)
     lp = jnp.full((state.E_pp.shape[1],), -1e30, jnp.float32)

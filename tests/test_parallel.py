@@ -119,3 +119,39 @@ def test_partitioned_train_step_runs_and_learns():
         params, opt_state, lval = step(params, opt_state, s)
         losses.append(float(lval))
     assert losses[-1] < losses[0]
+
+
+def test_lane_sharded_batched_rollout_matches_unsharded():
+    """Batched device rollout with the lane axis sharded over a dp mesh
+    (inference-side grid evaluation, zero collectives) must match the
+    unsharded vmapped scan on every lane."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from graingraphnn_tpu.rollout import device_rollout as dr
+
+    hp = hyper.regressor(0, layer_size=8)
+    params = grain_nn.init_regressor(jax.random.PRNGKey(0), hp)
+    hp_c = hyper.classifier_transfered(1, layer_size=8)
+    cparams = grain_nn.init_classifier(
+        jax.random.PRNGKey(1), hp_c, regressor_params=params)
+    lanes = [ge._synthetic_rollout_state(ng=16, nj=32, seed=i)
+             for i in range(4)]
+    stacked = dr.stack_states(lanes)
+    run = dr.make_rollout_scan_batched(
+        params, hp, cparams, hp_c, n_steps=2, c_threshold=0.99)
+    ref, _aux = run(stacked)
+
+    m = mesh_mod.make_mesh([("dp", 4)], n_devices=4)
+    sh = NamedSharding(m, P("dp"))
+    sharded = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh), stacked)
+    out, _aux2 = run(sharded)
+    for name in ("E_pp", "E_pq", "mask_g", "mask_j", "n_pp"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name)),
+            err_msg=name)
+    for name in ("xg", "xj"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name)),
+            atol=1e-6, err_msg=name)
