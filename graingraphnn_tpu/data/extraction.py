@@ -559,15 +559,18 @@ def calibrate_span(traj: TrajectoryExtractor) -> int:
 
 def make_training_samples(
     traj: TrajectoryExtractor, span: int | None = None, prev: int = 0,
-    verbose: bool = False,
+    stride: int | None = None, verbose: bool = False,
 ) -> List[heterograph.HeteroState]:
     """Windowed training pairs with event labels and optional history
-    gradients."""
+    gradients. `stride` defaults to span//2 (reference parity,
+    graph_trajectory.py:1191); stride=1 yields the densest overlapping
+    window set a single trajectory supports (~3x more pairs)."""
     span = span or calibrate_span(traj)
+    stride = stride or span // 2
     samples: List[heterograph.HeteroState] = []
     success_list: List[int] = []
     cnt = 0
-    for snapshot in range(0, traj.frames - span, span // 2):
+    for snapshot in range(0, traj.frames - span, stride):
         cnt += 1
         if not (traj.save_frame[snapshot] and traj.save_frame[snapshot + span]):
             continue
