@@ -258,33 +258,40 @@ def main():
     rollout_40, ms_40 = bench_rollout(40, pallas=False)
     batched_eps, batched_ms = bench_rollout_batched(120, B=8)
     train_eps = bench_train()
-    print(
-        json.dumps(
-            {
-                "metric": "rollout_edges_per_s_per_chip",
-                "value": round(rollout_120, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(rollout_120 / REFERENCE_ROLLOUT_EDGES_PER_S, 1),
-                "rollout_ms_per_step_120um": round(ms_120, 2),
-                "rollout_kernel": "fp32 XLA forward + fused Pallas editor "
-                                  "(bit-identical edits; QoI-parity)",
-                "rollout_120um_bf16_pallas_fwd_edges_per_s": round(
-                    rollout_120_pl, 1),
-                "rollout_ms_per_step_120um_bf16_pallas_fwd": round(
-                    ms_120_pl, 2),
-                "rollout_40um_edges_per_s": round(rollout_40, 1),
-                "rollout_40um_vs_baseline": round(
-                    rollout_40 / REFERENCE_ROLLOUT_EDGES_PER_S, 1
-                ),
-                "rollout_batched_8x120um_edges_per_s": round(batched_eps, 1),
-                "rollout_batched_ms_per_step": round(batched_ms, 2),
-                "train_edges_per_s": round(train_eps, 1),
-                "train_vs_baseline": round(
-                    train_eps / REFERENCE_TRAIN_EDGES_PER_S, 3
-                ),
-            }
-        )
-    )
+    row = {
+        "metric": "rollout_edges_per_s_per_chip",
+        "value": round(rollout_120, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(rollout_120 / REFERENCE_ROLLOUT_EDGES_PER_S, 1),
+        "rollout_ms_per_step_120um": round(ms_120, 2),
+        "rollout_kernel": "fp32 XLA forward + fused Pallas editor "
+                          "(bit-identical edits; QoI-parity)",
+        "rollout_120um_bf16_pallas_fwd_edges_per_s": round(
+            rollout_120_pl, 1),
+        # legacy alias for round-over-round consumers (pre-round-3 key;
+        # same series: bf16 Pallas-forward rollout rate at 120 um)
+        "rollout_120um_pallas_edges_per_s": round(rollout_120_pl, 1),
+        "rollout_ms_per_step_120um_bf16_pallas_fwd": round(ms_120_pl, 2),
+        "rollout_40um_edges_per_s": round(rollout_40, 1),
+        "rollout_40um_vs_baseline": round(
+            rollout_40 / REFERENCE_ROLLOUT_EDGES_PER_S, 1
+        ),
+        "rollout_batched_8x120um_edges_per_s": round(batched_eps, 1),
+        "rollout_batched_ms_per_step": round(batched_ms, 2),
+        "train_edges_per_s": round(train_eps, 1),
+        "train_vs_baseline": round(
+            train_eps / REFERENCE_TRAIN_EDGES_PER_S, 3
+        ),
+    }
+    # the number of record for README/STATUS quotes: scripts/
+    # check_readme_numbers.py (run in the test suite) diffs the docs
+    # against this artifact, ending the round-over-round quote drift
+    try:
+        with open("artifacts/BENCH_LOCAL.json", "w") as f:
+            json.dump(row, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -566,7 +566,9 @@ def make_training_samples(
     graph_trajectory.py:1191); stride=1 yields the densest overlapping
     window set a single trajectory supports (~3x more pairs)."""
     span = span or calibrate_span(traj)
-    stride = stride or span // 2
+    stride = stride if stride is not None else max(1, span // 2)
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     samples: List[heterograph.HeteroState] = []
     success_list: List[int] = []
     cnt = 0

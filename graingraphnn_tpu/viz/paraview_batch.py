@@ -39,8 +39,11 @@ def build_pipeline(pv, path: str, *, clip: bool, threshold=None,
         thr = pv.Threshold(Input=stage)
         thr.Scalars = ["POINTS", "alpha"]
         lo, hi = threshold
-        thr.LowerThreshold = lo
-        thr.UpperThreshold = hi
+        if hasattr(thr, "LowerThreshold"):     # ParaView >= 5.10
+            thr.LowerThreshold = lo
+            thr.UpperThreshold = hi
+        else:                                   # older: single range property
+            thr.ThresholdRange = [lo, hi]
         stage = thr
     if clip:
         clp = pv.Clip(Input=stage)

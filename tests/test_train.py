@@ -86,3 +86,19 @@ def test_grain_pr_auc():
     area = np.array([1e-5, 5e-5, 5e-3, 8e-3])
     auc, p, r = grain_class_acc(area, y)
     assert auc > 0.99
+
+
+def test_readme_numbers_match_bench_artifact():
+    """README/STATUS headline quotes must equal artifacts/BENCH_LOCAL.json
+    (three rounds of quote drift — VERDICT r3 weak #3)."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "scripts" / \
+        "check_readme_numbers.py"
+    spec = importlib.util.spec_from_file_location("check_readme_numbers",
+                                                  path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    errors = mod.check()
+    assert not errors, "\n".join(errors)

@@ -100,7 +100,13 @@ def test_video_frames():
     assert [s[1] for s in saves] == [f"out_{k:04d}.png" for k in range(4)]
 
 
-def test_cli_exits_cleanly_without_paraview():
+def test_cli_exits_cleanly_without_paraview(monkeypatch):
+    # force the import failure: in an environment that DOES ship ParaView,
+    # main() would otherwise proceed past the import and fail differently
+    import sys
+
+    monkeypatch.setitem(sys.modules, "paraview", None)
+    monkeypatch.setitem(sys.modules, "paraview.simple", None)
     with pytest.raises(SystemExit) as ei:
         pb.main(["missing.vtk"])
     assert "paraview.simple" in str(ei.value)
