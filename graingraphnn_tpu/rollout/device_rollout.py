@@ -56,6 +56,14 @@ class DeviceRolloutState(NamedTuple):
     mask_g: jnp.ndarray  # [NG] int32
     mask_j: jnp.ndarray  # [NJ] int32
     n_pp: jnp.ndarray    # scalar int32: live E_pp columns (append cursor)
+    # Persistent ELL structures (COO column id per (dst, slot), -1 dead),
+    # maintained incrementally across steps (update_ell_cols) so the
+    # per-step from-scratch rebuilds — the O(E^2) crossbar rank for pull
+    # and a dozen TPU scatters for the deg-3 builds — disappear from the
+    # step. None = legacy from-scratch rebuild every step.
+    pull_cols: jnp.ndarray | None = None     # [NG, ring]  over E_pq, dst=row1
+    push_cols: jnp.ndarray | None = None     # [NJ, 3]     over E_pq, dst=row0
+    connect_cols: jnp.ndarray | None = None  # [NJ, 3]     over E_pp, dst=row1
 
 
 def _wrap(rel):
@@ -196,6 +204,142 @@ def build_ell_deg3(src, dst, attr, num_dst: int, max_deg: int):
     )
 
 
+def build_pull_cols(src, dst, num_dst: int, ring: int):
+    """From-scratch pull-ELL *structure*: cols[d, k] = the COO column id of
+    the k-th live edge into destination d (ascending column id — the exact
+    slot order of build_ell_sorted / build_ell_rank), -1 dead.
+
+    Called ONCE at rollout init (and in oracle tests); the per-step path
+    keeps `cols` current with update_pull_cols instead of re-ranking all
+    E^2 pairs every span. Sort-based, so it scales to any E (the crossbar's
+    16k-edge cap does not apply). Returns (cols [num_dst, ring] i32,
+    overflow bool)."""
+    E = src.shape[0]
+    live = (src >= 0) & (dst >= 0)
+    dstk = jnp.where(live, dst, num_dst).astype(jnp.int32)
+    order = jnp.argsort(dstk, stable=True)
+    ds = dstk[order]
+    first = jnp.searchsorted(ds, ds, side="left")
+    slot = jnp.arange(E, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (ds < num_dst) & (slot < ring)
+    flat = jnp.where(ok, ds * ring + slot, num_dst * ring)
+    cols = jnp.full(num_dst * ring + 1, -1, jnp.int32).at[flat].set(
+        order.astype(jnp.int32)
+    )
+    overflow = ok.sum() < live.sum()
+    return cols[:-1].reshape(num_dst, ring), overflow
+
+
+def ell_from_cols(cols, src, attr):
+    """Materialize the pull ELL from its persistent structure: gather the
+    neighbor ids and current edge attributes through the stored column ids.
+    Bit-identical to build_ell_rank's (nbr, len, mask) when `cols` is
+    current (asserted in tests/test_device_rollout.py). O(NG*ring) gathers
+    instead of the O(E^2) rank."""
+    live = cols >= 0
+    c = jnp.where(live, cols, 0)
+    nbr = jnp.where(live, src[c], 0).astype(jnp.int32)
+    length = jnp.where(live, attr[c], 0.0).astype(jnp.float32)
+    mask = live.astype(jnp.float32)
+    return nbr, length, mask
+
+
+def update_ell_cols(cols, E_old, E_new, dst_row: int, *, t_max: int = 64):
+    """Incremental ELL-structure maintenance (VERDICT r3 task 1): a span's
+    topology edit changes only O(events) COO columns (switch rewires,
+    elimination kills, nucleation appends — topology_jit.py), so only
+    destinations referenced by a *changed* column need their slot ranking
+    recomputed. Diff the COO before/after the editor, compact the touched
+    destination set into t_max lanes, and re-rank just those rows against
+    the full column list — O(t_max * E) fused compares instead of the
+    O(E^2) crossbar, and linear in E past the 16k crossbar cap.
+
+    `dst_row` selects which COO row is the ELL destination: 1 for the
+    pull ELL (grain rings over E_pq) and the connect ELL (jj over E_pp),
+    0 for the push ELL (jg into each junction over E_pq).
+
+    Slot order contract is preserved exactly: untouched rows keep their
+    (unchanged) ranking; touched rows are re-ranked by ascending column id
+    over current liveness, which is what the from-scratch builders compute.
+
+    Returns (cols, touch_over, deg_over): touch_over = more than t_max
+    destinations touched (recoverable — maintained_cols falls back to a
+    from-scratch rebuild); deg_over = a touched destination's live degree
+    exceeds the slot capacity (a genuine ring bust, callers fail loudly,
+    same contract as ring_overflow)."""
+    num_dst, ring = cols.shape
+    changed = jnp.any(E_old != E_new, axis=0)                     # [E]
+    live_old = (E_old[0] >= 0) & (E_old[1] >= 0)
+    live_new = (E_new[0] >= 0) & (E_new[1] >= 0)
+    d_old = jnp.where(changed & live_old, E_old[dst_row], num_dst)
+    d_new = jnp.where(changed & live_new, E_new[dst_row], num_dst)
+    flag = (
+        jnp.zeros(num_dst + 1, bool).at[d_old].set(True).at[d_new].set(True)
+    )[:num_dst]
+    n_touched = flag.sum()
+
+    # compact touched destination ids to the front of a [t_max] vector
+    # (associative_scan: plain cumsum can lower to a quadratic
+    # reduce_window on TPU — same trap as compact_stage)
+    pos = jax.lax.associative_scan(jnp.add, flag.astype(jnp.int32)) - 1
+    touched = jnp.full(t_max + 1, -1, jnp.int32).at[
+        jnp.where(flag, pos, t_max)
+    ].set(jnp.arange(num_dst, dtype=jnp.int32), mode="drop")[:t_max]
+
+    # re-rank the touched rows over the post-edit column list. The slot->
+    # column map is recovered with per-slot binary searches on each row's
+    # running match count (k-th live match = first column where the count
+    # reaches k+1) — a [t_max, ring] batch of log2(EQ) gathers; a direct
+    # [t_max*EQ]-element scatter formulation measured ~8 ms/step in-scan
+    # on TPU (scatter-bound), this one is ~0.2 ms.
+    match = (
+        live_new[None, :]
+        & (E_new[dst_row][None, :] == touched[:, None])
+        & (touched[:, None] >= 0)
+    )                                                             # [t_max, E]
+    cum = jax.lax.associative_scan(
+        jnp.add, match.astype(jnp.int32), axis=1)
+    deg = cum[:, -1]
+    deg_over = (deg > ring).any()
+    kk = jnp.arange(1, ring + 1, dtype=jnp.int32)
+    rows = jax.vmap(
+        lambda c: jnp.searchsorted(c, kk, side="left")
+    )(cum).astype(jnp.int32)                                      # [t_max, ring]
+    rows = jnp.where(kk[None, :] <= deg[:, None], rows, -1)
+
+    cols = cols.at[jnp.where(touched >= 0, touched, num_dst)].set(
+        rows, mode="drop")
+    return cols, n_touched > t_max, deg_over
+
+
+def maintained_cols(cols, E_old, E_new, dst_row: int, *, t_max: int = 64):
+    """update_ell_cols with a from-scratch rebuild fallback: a touch-budget
+    bust (rare — a step whose edit cascade touches more than t_max
+    destinations) pays one sort-based rebuild via lax.cond instead of
+    aborting the rollout. Returns (cols, overflow) where overflow is a
+    genuine slot-capacity bust only (degree > capacity)."""
+    num_dst, ring = cols.shape
+    src_row = 1 - dst_row
+    cols2, touch_over, deg_over = update_ell_cols(
+        cols, E_old, E_new, dst_row, t_max=t_max)
+
+    def rebuild(_):
+        return build_pull_cols(E_new[src_row], E_new[dst_row], num_dst, ring)
+
+    def keep(_):
+        return cols2, deg_over
+
+    return jax.lax.cond(touch_over, rebuild, keep, None)
+
+
+def update_pull_cols(cols, E_pq_old, E_pq_new, *, t_max: int = 64):
+    """Back-compat wrapper: pull-ELL update over E_pq (dst = row 1), with
+    the touch-budget bust folded into the overflow flag (no fallback)."""
+    cols2, touch_over, deg_over = update_ell_cols(
+        cols, E_pq_old, E_pq_new, 1, t_max=t_max)
+    return cols2, touch_over | deg_over
+
+
 def _coo_lengths(pos_src, pos_dst, src, dst):
     """Periodic edge lengths for a padded COO list (test.py:560-575 rebuilds
     these on host every step)."""
@@ -210,19 +354,40 @@ def make_sample(state: DeviceRolloutState, ring: int = tj.RING_MAX):
     Returns (sample, ring_overflow)."""
     xg, xj = state.xg, state.xj
     NG, NJ = xg.shape[0], xj.shape[0]
+    if state.pull_cols is not None and state.pull_cols.shape[-1] != ring:
+        raise ValueError(
+            f"pull_cols built with ring={state.pull_cols.shape[-1]} but "
+            f"sample requested ring={ring}")
     pos_g, pos_j = xg[:, :2], xj[:, :2]
     pq_len = _coo_lengths(pos_j, pos_g, state.E_pq[0], state.E_pq[1])
     pp_len = _coo_lengths(pos_j, pos_j, state.E_pp[0], state.E_pp[1])
 
-    push_nbr, push_len, push_mask, _ = build_ell_deg3(
-        state.E_pq[1], state.E_pq[0], pq_len, NJ, schema.JG_DEGREE
-    )
-    connect_nbr, connect_len, connect_mask, _ = build_ell_deg3(
-        state.E_pp[0], state.E_pp[1], pp_len, NJ, schema.JJ_DEGREE
-    )
-    pull_nbr, pull_len, pull_mask, overflow = build_ell_rank(
-        state.E_pq[0], state.E_pq[1], pq_len, NG, ring
-    )
+    if state.push_cols is not None:
+        push_nbr, push_len, push_mask = ell_from_cols(
+            state.push_cols, state.E_pq[1], pq_len)
+    else:
+        push_nbr, push_len, push_mask, _ = build_ell_deg3(
+            state.E_pq[1], state.E_pq[0], pq_len, NJ, schema.JG_DEGREE
+        )
+    if state.connect_cols is not None:
+        connect_nbr, connect_len, connect_mask = ell_from_cols(
+            state.connect_cols, state.E_pp[0], pp_len)
+    else:
+        connect_nbr, connect_len, connect_mask, _ = build_ell_deg3(
+            state.E_pp[0], state.E_pp[1], pp_len, NJ, schema.JJ_DEGREE
+        )
+    if state.pull_cols is not None:
+        # persistent structure kept current by update_pull_cols — capacity
+        # was validated when the structure was (re)built, so no per-sample
+        # overflow can occur here
+        pull_nbr, pull_len, pull_mask = ell_from_cols(
+            state.pull_cols, state.E_pq[0], pq_len
+        )
+        overflow = jnp.asarray(False)
+    else:
+        pull_nbr, pull_len, pull_mask, overflow = build_ell_rank(
+            state.E_pq[0], state.E_pq[1], pq_len, NG, ring
+        )
 
     jj_live = (state.E_pp[0] >= 0).astype(jnp.float32)
     EP = state.E_pp.shape[1]
@@ -322,10 +487,13 @@ def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold,
     )
 
 
-def compact_stage(E_pp_in):
+def compact_stage(E_pp_in, return_perm: bool = False):
     """Compact E_pp so the append cursor never outgrows the fixed capacity
     (the host engine drops dead columns each step, engine.py:106-112).
-    Returns (E_pp, n_pp).
+    Returns (E_pp, n_pp) — or (E_pp, n_pp, pos) with return_perm, where
+    pos[c] is the new position of old column c (live columns keep their
+    relative order, so rank-by-column-id ELL structures stay valid under
+    `pos[cols]` remapping).
 
     Stable two-sided partition via prefix sums + one scatter — identical
     output to argsort(~live, stable) without the bitonic sort
@@ -337,16 +505,26 @@ def compact_stage(E_pp_in):
     c_dead = jax.lax.associative_scan(jnp.add, (~livec).astype(jnp.int32))
     pos = jnp.where(livec, c_live - 1, n_live + c_dead - 1)
     out = jnp.zeros_like(E_pp_in).at[:, pos].set(E_pp_in)
+    if return_perm:
+        return out, n_live, pos
     return out, n_live
 
 
-def centers_stage(xg, xj, E_pq, ring):
+def centers_stage(xg, xj, E_pq, ring, pull_cols=None):
     """<5> grain centers from the post-edit junction rings (test.py:556-559;
-    see module docstring for the wrap-invariant deviation)."""
+    see module docstring for the wrap-invariant deviation). When the
+    post-edit pull structure is already maintained (pull_cols), the ring
+    membership comes from it directly — the second per-step rank build
+    this stage used to pay disappears."""
     NG = xg.shape[0]
-    nbr, _len, rmask, _ = build_ell_rank(
-        E_pq[0], E_pq[1], jnp.zeros(E_pq.shape[1], jnp.float32), NG, ring,
-    )
+    if pull_cols is not None:
+        nbr, _len, rmask = ell_from_cols(
+            pull_cols, E_pq[0], jnp.zeros(E_pq.shape[1], jnp.float32))
+    else:
+        nbr, _len, rmask, _ = build_ell_rank(
+            E_pq[0], E_pq[1], jnp.zeros(E_pq.shape[1], jnp.float32), NG,
+            ring,
+        )
     ring_pos = xj[nbr, :2]
     prev_c = xg[:, :2]
     unwrapped = prev_c[:, None, :] + _wrap(ring_pos - prev_c[:, None, :])
@@ -369,6 +547,7 @@ def device_step(
     max_elim: int = tj.MAX_ELIM,
     max_switch: int = tj.MAX_SWITCH,
     fused_editor: bool = False,
+    t_max: int = 256,
 ) -> tuple[DeviceRolloutState, Dict]:
     """One rollout span advance, fully traced (steps <1>-<5> of
     rollout.engine.run), composed from the stage functions above. Returns
@@ -392,12 +571,37 @@ def device_step(
         max_switch, fused=fused_editor,
     )
     xj = tstate.xj
-    E_pp, n_pp = compact_stage(tstate.E_pp)
-    xg = centers_stage(xg, xj, tstate.E_pq, ring)
+    pull_cols = state.pull_cols
+    push_cols = state.push_cols
+    connect_cols = state.connect_cols
+    if pull_cols is not None:
+        pull_cols, ov_pull = maintained_cols(
+            pull_cols, state.E_pq, tstate.E_pq, 1, t_max=t_max)
+        overflow = overflow | ov_pull
+    if push_cols is not None:
+        push_cols, ov_push = maintained_cols(
+            push_cols, state.E_pq, tstate.E_pq, 0, t_max=t_max)
+        overflow = overflow | ov_push
+    if connect_cols is not None:
+        # update on pre-compact column ids, then remap through the stable
+        # compaction permutation (live relative order preserved => ranks
+        # preserved)
+        connect_cols, ov_conn = maintained_cols(
+            connect_cols, state.E_pp, tstate.E_pp, 1, t_max=t_max)
+        overflow = overflow | ov_conn
+        E_pp, n_pp, perm = compact_stage(tstate.E_pp, return_perm=True)
+        connect_cols = jnp.where(
+            connect_cols >= 0,
+            perm[jnp.where(connect_cols >= 0, connect_cols, 0)], -1
+        ).astype(jnp.int32)
+    else:
+        E_pp, n_pp = compact_stage(tstate.E_pp)
+    xg = centers_stage(xg, xj, tstate.E_pq, ring, pull_cols=pull_cols)
 
     new_state = DeviceRolloutState(
         xg=xg, xj=xj, E_pp=E_pp, E_pq=tstate.E_pq,
         mask_g=tstate.mask_g, mask_j=tstate.mask_j, n_pp=n_pp,
+        pull_cols=pull_cols, push_cols=push_cols, connect_cols=connect_cols,
     )
     aux = {
         "grain_events": ge,
@@ -429,6 +633,7 @@ def make_rollout_scan(
     max_elim: int = tj.MAX_ELIM,
     max_switch: int = tj.MAX_SWITCH,
     fused_editor: bool = False,
+    t_max: int = 256,
 ):
     """Jitted n_steps-span rollout: state -> (state, aux-per-step). One
     compile per (capacity, n_steps); zero host transfers inside.
@@ -456,7 +661,7 @@ def make_rollout_scan(
                     r_threshold=r_threshold, c_threshold=c_threshold,
                     span=span, ring=ring,
                     max_elim=max_elim, max_switch=max_switch,
-                    fused_editor=fused_editor,
+                    fused_editor=fused_editor, t_max=t_max,
                 )
                 return st, aux
 
@@ -493,6 +698,20 @@ def stack_states(states: list) -> DeviceRolloutState:
         out[:, : a.shape[1]] = a
         return out
 
+    # lane column ids stay valid under tail padding of E_pq/E_pp, so the
+    # persistent ELL structures stack with a -1 row fill; legacy if any
+    # lane lacks one
+    def stack_cols(field, nrows):
+        vals = [getattr(s, field) for s in states]
+        if any(v is None for v in vals):
+            return None
+        return jnp.asarray(
+            np.stack([pad_rows(v, nrows, -1) for v in vals]))
+
+    pull_cols = stack_cols("pull_cols", NG)
+    push_cols = stack_cols("push_cols", NJ)
+    connect_cols = stack_cols("connect_cols", NJ)
+
     return DeviceRolloutState(
         xg=jnp.asarray(np.stack([pad_rows(s.xg, NG) for s in states])),
         xj=jnp.asarray(np.stack([pad_rows(s.xj, NJ) for s in states])),
@@ -503,6 +722,7 @@ def stack_states(states: list) -> DeviceRolloutState:
         mask_j=jnp.asarray(
             np.stack([pad_rows(s.mask_j, NJ, 0) for s in states])),
         n_pp=jnp.asarray(np.stack([np.asarray(s.n_pp) for s in states])),
+        pull_cols=pull_cols, push_cols=push_cols, connect_cols=connect_cols,
     )
 
 
@@ -561,11 +781,47 @@ def pack_states(states: list) -> DeviceRolloutState:
     E_pq = np.concatenate(pq_cols, axis=1)
     n_pp = sum(int(c[0].shape[1]) for c in pp_cols)
 
+    # ELL structures: each lane's E_pq column ids shift by its column
+    # offset (a destination's columns stay contiguous and ordered within
+    # the lane's block, so slot order matches a from-scratch build on the
+    # packed graph); E_pp ids additionally remap through the live-first
+    # reordering above (stable within a lane, so ranks are preserved)
+    pull_cols = push_cols = connect_cols = None
+    if all(s.pull_cols is not None and s.push_cols is not None
+           and s.connect_cols is not None for s in states):
+        q_off, acc = [], 0
+        for s in states:
+            q_off.append(acc)
+            acc += int(np.asarray(s.E_pq).shape[1])
+
+        def shift_q(field):
+            return jnp.asarray(np.concatenate([
+                np.where(np.asarray(getattr(s, field)) >= 0,
+                         np.asarray(getattr(s, field)) + q_off[i], -1)
+                for i, s in enumerate(states)
+            ]))
+
+        pull_cols = shift_q("pull_cols")
+        push_cols = shift_q("push_cols")
+
+        live_off, conn_parts = 0, []
+        for i, s in enumerate(states):
+            Epp_i = np.asarray(s.E_pp)
+            live_i = Epp_i[0] >= 0
+            new_pos = np.cumsum(live_i) - 1 + live_off
+            cc = np.asarray(s.connect_cols)
+            safe = np.where(cc >= 0, cc, 0)
+            conn_parts.append(
+                np.where(cc >= 0, new_pos[safe], -1).astype(np.int32))
+            live_off += int(live_i.sum())
+        connect_cols = jnp.asarray(np.concatenate(conn_parts))
+
     return DeviceRolloutState(
         xg=jnp.asarray(xg), xj=jnp.asarray(xj),
         E_pp=jnp.asarray(E_pp), E_pq=jnp.asarray(E_pq),
         mask_g=jnp.asarray(mask_g), mask_j=jnp.asarray(mask_j),
         n_pp=jnp.asarray(n_pp, jnp.int32),
+        pull_cols=pull_cols, push_cols=push_cols, connect_cols=connect_cols,
     )
 
 
@@ -579,6 +835,7 @@ def make_rollout_scan_batched(
     ring: int = tj.RING_MAX,
     pallas: bool = False,
     fused_editor: bool = False,
+    t_max: int = 256,
 ):
     """Jitted scan of B independent rollouts advanced together by one
     vmapped device_step — the chip-filling configuration (VERDICT round-2
@@ -598,7 +855,7 @@ def make_rollout_scan_batched(
         return device_step(
             reg_params, hp_r, cls_params, hp_c, st,
             r_threshold=r_threshold, c_threshold=c_threshold,
-            span=span, ring=ring, fused_editor=fused_editor,
+            span=span, ring=ring, fused_editor=fused_editor, t_max=t_max,
         )
 
     @jax.jit
@@ -616,17 +873,51 @@ def make_rollout_scan_batched(
     return run
 
 
+def _cols_np(src, dst, num_dst: int, cap: int, what: str) -> np.ndarray:
+    """Host-side from-scratch ELL structure build (numpy stable sort, any
+    E): cols[d, k] = COO column id of the k-th live edge into d by
+    ascending column id. Raises on a capacity bust at init."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    live = (src >= 0) & (dst >= 0)
+    cols_np = np.full((num_dst, cap), -1, np.int32)
+    order = np.argsort(np.where(live, dst, num_dst), kind="stable")
+    ds = np.where(live, dst, num_dst)[order]
+    first = np.searchsorted(ds, ds, side="left")
+    slot = np.arange(len(ds)) - first
+    ok = (ds < num_dst) & (slot < cap)
+    if (ds < num_dst).sum() != ok.sum():
+        raise ValueError(f"init {what} bust: a destination exceeds "
+                         f"capacity {cap}")
+    cols_np[ds[ok], slot[ok]] = order[ok]
+    return cols_np
+
+
 def init_device_state(
     x: Dict[str, np.ndarray],
     edges: Dict[str, np.ndarray],
     mask: Dict[str, np.ndarray],
     *,
     pp_cap: int | None = None,
+    ring: int = tj.RING_MAX,
+    incremental: bool | None = None,
 ) -> DeviceRolloutState:
     """Pack host-layout arrays (rollout.engine's x/edges/mask dicts) into a
     padded device state. E_pp capacity defaults to the live count plus the
     per-step edit slack, rounded to 128 columns (compaction keeps the cursor
-    bounded across arbitrarily many steps)."""
+    bounded across arbitrarily many steps).
+
+    incremental=True seeds persistent ELL structures (numpy stable sort,
+    any E) so steps take the O(events * E) incremental maintenance path
+    (update_ell_cols); a capacity bust at init raises immediately.
+    incremental=None (default) auto-selects: measured on TPU, the fused
+    O(E^2) crossbar rank build is FASTER than incremental maintenance at
+    rollout scales (3.8 vs 4.8 ms/step at 120 um — the compare-reduce is
+    VPU-cheap), so small graphs keep the from-scratch rebuild and graphs
+    past the crossbar cap (where the quadratic wall is real) switch to
+    the incremental path."""
+    if incremental is None:
+        incremental = np.asarray(edges["pull"]).shape[1] > _CROSSBAR_MAX_E
     connect = np.asarray(edges["connect"], np.int64)
     connect = connect[:, connect[0] >= 0]
     slack = 2 * (tj.MAX_ELIM * 3 + tj.MAX_TWOSIDED + 2)
@@ -634,6 +925,18 @@ def init_device_state(
     E_pp = np.full((2, EP), -1, np.int32)
     E_pp[:, : connect.shape[1]] = connect
     pull = np.asarray(edges["pull"], np.int64)
+
+    pull_cols = push_cols = connect_cols = None
+    if incremental:
+        NG = x["grain"].shape[0]
+        NJ = x["joint"].shape[0]
+        pull_cols = jnp.asarray(
+            _cols_np(pull[0], pull[1], NG, ring, "pull ring"))
+        push_cols = jnp.asarray(
+            _cols_np(pull[1], pull[0], NJ, schema.JG_DEGREE, "push deg"))
+        connect_cols = jnp.asarray(
+            _cols_np(E_pp[0], E_pp[1], NJ, schema.JJ_DEGREE, "connect deg"))
+
     return DeviceRolloutState(
         xg=jnp.asarray(x["grain"], jnp.float32),
         xj=jnp.asarray(x["joint"], jnp.float32),
@@ -642,10 +945,13 @@ def init_device_state(
         mask_g=jnp.asarray(np.asarray(mask["grain"]).reshape(-1), jnp.int32),
         mask_j=jnp.asarray(np.asarray(mask["joint"]).reshape(-1), jnp.int32),
         n_pp=jnp.asarray(connect.shape[1], jnp.int32),
+        pull_cols=pull_cols, push_cols=push_cols, connect_cols=connect_cols,
     )
 
 
-def state_from_heterograph(hg0, *, pp_cap: int | None = None) -> DeviceRolloutState:
+def state_from_heterograph(hg0, *, pp_cap: int | None = None,
+                           incremental: bool | None = None
+                           ) -> DeviceRolloutState:
     """Device state straight from a test-mode HeteroState (the engine's
     initialization, engine.py:193-214)."""
     x = {
@@ -660,4 +966,5 @@ def state_from_heterograph(hg0, *, pp_cap: int | None = None) -> DeviceRolloutSt
         "grain": np.asarray(hg0.mask["grain"], np.int64).reshape(-1),
         "joint": np.ones(len(x["joint"]), np.int64),
     }
-    return init_device_state(x, edges, mask, pp_cap=pp_cap)
+    return init_device_state(x, edges, mask, pp_cap=pp_cap,
+                             incremental=incremental)

@@ -441,3 +441,139 @@ def test_build_ell_rank_scatter_min_fallback_matches(monkeypatch):
     assert not bool(a[3]) and not bool(b[3])
     for x, y in zip(a[:3], b[:3]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_incremental_pull_ell_matches_legacy_rollout(setup):
+    """The persistent pull-ELL structure (pull_cols + update_pull_cols)
+    must make the whole rollout bit-identical to the legacy from-scratch
+    crossbar rebuild — including under heavy elimination cascades, which
+    kill/rewire E_pq columns (VERDICT r3 task 1 'bit-identical ELL
+    asserted in tests')."""
+    rp, hp_r, cp, hp_c, hg0 = setup
+    st_inc = dr.state_from_heterograph(hg0, incremental=True)
+    assert st_inc.pull_cols is not None
+    st_leg = st_inc._replace(pull_cols=None, push_cols=None,
+                             connect_cols=None)
+
+    # initial ELL parity — all three structures
+    s_i, _ = jax.jit(dr.make_sample)(st_inc)
+    s_l, _ = jax.jit(dr.make_sample)(st_leg)
+    for f in ("pull_nbr", "pull_len", "pull_mask", "push_nbr", "push_len",
+              "push_mask", "connect_nbr", "connect_len", "connect_mask"):
+        assert (np.asarray(getattr(s_i, f))
+                == np.asarray(getattr(s_l, f))).all(), f
+
+    # r_threshold=0.05 forces eliminations with these random weights
+    # (dozens of events incl. ring-collapse extras over 6 spans)
+    run = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=6,
+                               c_threshold=0.5, r_threshold=0.05)
+    si, ai = run(st_inc)
+    sl, _ = run(st_leg)
+    assert int((np.asarray(ai["grain_events"]) >= 0).sum()) > 0
+    for f in ("xg", "xj", "E_pp", "E_pq", "mask_g", "mask_j", "n_pp"):
+        assert (np.asarray(getattr(si, f))
+                == np.asarray(getattr(sl, f))).all(), f
+    # the maintained structures equal from-scratch builds on the final COO
+    for cols, args in (
+        (si.pull_cols, (si.E_pq[0], si.E_pq[1], si.xg.shape[0],
+                        tj.RING_MAX)),
+        (si.push_cols, (si.E_pq[1], si.E_pq[0], si.xj.shape[0],
+                        schema.JG_DEGREE)),
+        (si.connect_cols, (si.E_pp[0], si.E_pp[1], si.xj.shape[0],
+                           schema.JJ_DEGREE)),
+    ):
+        ref, _ov = dr.build_pull_cols(*args)
+        assert (np.asarray(cols) == np.asarray(ref)).all()
+
+    # a tiny touch budget forces the lax.cond from-scratch fallback every
+    # step — still bit-identical, no spurious overflow
+    run_fb = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=6,
+                                  c_threshold=0.5, r_threshold=0.05,
+                                  t_max=2)
+    sf, af = run_fb(st_inc)
+    for f in ("xg", "xj", "E_pp", "E_pq", "mask_g", "mask_j", "n_pp"):
+        assert (np.asarray(getattr(sf, f))
+                == np.asarray(getattr(si, f))).all(), f
+    assert (np.asarray(af["ring_overflow"])
+            == np.asarray(ai["ring_overflow"])).all()
+
+
+def test_update_pull_cols_flags_touch_budget_bust():
+    """More touched destinations than t_max must trip the overflow flag
+    (the same fail-loudly contract as ring/pp overflow), not silently
+    corrupt rows."""
+    rng = np.random.default_rng(3)
+    NG, EQ, ring = 32, 96, 6
+    dst = rng.integers(0, NG, EQ).astype(np.int32)
+    src = rng.integers(0, 64, EQ).astype(np.int32)
+    E_old = jnp.asarray(np.stack([src, dst]))
+    cols, ov = dr.build_pull_cols(E_old[0], E_old[1], NG, ring)
+    assert not bool(ov)
+    # rewire every column's destination: touches ~all NG grains
+    E_new = jnp.asarray(np.stack([src, (dst + 1) % NG]))
+    _, ov_small = dr.update_pull_cols(cols, E_old, E_new, t_max=4)
+    assert bool(ov_small)
+    cols_big, ov_big = dr.update_pull_cols(cols, E_old, E_new, t_max=NG)
+    assert not bool(ov_big)
+    ref, _ = dr.build_pull_cols(E_new[0], E_new[1], NG, ring)
+    assert (np.asarray(cols_big) == np.asarray(ref)).all()
+
+
+def test_update_pull_cols_random_edit_fuzz():
+    """Randomized kills/rewires/appends against the from-scratch builder."""
+    rng = np.random.default_rng(11)
+    NG, EQ, ring = 40, 160, 14
+    dst = rng.integers(0, NG, EQ).astype(np.int32)
+    src = rng.integers(0, 99, EQ).astype(np.int32)
+    dead0 = rng.uniform(size=EQ) < 0.2
+    src[dead0] = -1
+    dst[dead0] = -1
+    E = np.stack([src, dst])
+    cols, ov = dr.build_pull_cols(jnp.asarray(E[0]), jnp.asarray(E[1]),
+                                  NG, ring)
+    # keep degrees under ring for a clean fuzz
+    assert not bool(ov)
+    for it in range(5):
+        E_new = E.copy()
+        kill = rng.uniform(size=EQ) < 0.1
+        E_new[:, kill] = -1
+        rewire = (rng.uniform(size=EQ) < 0.1) & (E_new[0] >= 0)
+        E_new[1, rewire] = rng.integers(0, NG, int(rewire.sum()))
+        revive = (rng.uniform(size=EQ) < 0.05) & (E_new[0] < 0)
+        E_new[0, revive] = rng.integers(0, 99, int(revive.sum()))
+        E_new[1, revive] = rng.integers(0, NG, int(revive.sum()))
+        ref, ref_ov = dr.build_pull_cols(
+            jnp.asarray(E_new[0]), jnp.asarray(E_new[1]), NG, ring)
+        cols_up, ov_up = dr.update_pull_cols(
+            cols, jnp.asarray(E), jnp.asarray(E_new), t_max=NG)
+        if bool(ref_ov):
+            assert bool(ov_up)
+        else:
+            assert not bool(ov_up)
+            assert (np.asarray(cols_up) == np.asarray(ref)).all(), it
+            E, cols = E_new, cols_up
+
+
+def test_batched_scan_with_incremental_structures(setup):
+    """stack_states carries the persistent ELL structures per lane (column
+    ids stay valid under tail padding); the vmapped scan stays lane-exact
+    vs single incremental rollouts."""
+    rp, hp_r, cp, hp_c, hg0 = setup
+    traj2 = make_traj(seed=7)
+    hg2 = extraction.make_test_sample(traj2, span=6)
+    singles = [dr.state_from_heterograph(hg0, incremental=True),
+               dr.state_from_heterograph(hg2, incremental=True)]
+    batched = dr.stack_states(singles)
+    assert batched.pull_cols is not None
+    runb = dr.make_rollout_scan_batched(
+        rp, hp_r, cp, hp_c, n_steps=2, c_threshold=0.9)
+    stb, auxb = runb(batched)
+    run1 = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=2,
+                                c_threshold=0.9)
+    for i, s in enumerate(singles):
+        st1, _ = run1(s)
+        ng = st1.xg.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(stb.xg[i, :ng]), np.asarray(st1.xg), atol=2e-5)
+        assert (np.asarray(stb.pull_cols[i, :ng])
+                == np.asarray(st1.pull_cols)).all()
