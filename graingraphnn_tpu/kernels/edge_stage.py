@@ -161,12 +161,18 @@ def apply_period_conv_pallas(
     out_channels: int,
     interpret: bool = False,
     tile: int = 64,
+    compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.period_conv.apply_period_conv (attention
     path). Returns [Nd, G*C] float32. F_src/F_dst must be <= 128.
 
     Nd is padded internally to a tile multiple; padded rows carry zero masks
-    (their softmax collapses to the all-masked guard) and are sliced off."""
+    (their softmax collapses to the all-masked guard) and are sliced off.
+
+    compute_dtype selects the matmul operand precision: bf16 (default,
+    ~4x MXU peak, ~1e-3 forward noise) or f32 (same precision class as the
+    XLA formulation — the kernel's remaining win is the fusion: no
+    [Nd, K, G*C] HBM intermediates, one launch per conv)."""
     G, C = num_gates, out_channels
     GC = G * C
     Nd_in, K = nbr.shape
@@ -181,24 +187,24 @@ def apply_period_conv_pallas(
         edge_len = jnp.pad(edge_len, ((0, pad), (0, 0)))
         nbr_mask = jnp.pad(nbr_mask, ((0, pad), (0, 0)))
 
-    bf16 = jnp.bfloat16
-    xs = _pad_lanes(x_src.astype(bf16))
-    xd = _pad_lanes(x_dst.astype(bf16))
-    xe = jnp.take(xs, nbr, axis=0)                       # [Nd, K, 128] bf16
+    cd = compute_dtype
+    xs = _pad_lanes(x_src.astype(cd))
+    xd = _pad_lanes(x_dst.astype(cd))
+    xe = jnp.take(xs, nbr, axis=0)                       # [Nd, K, 128] cd
 
-    def wpad(w):  # [F, GC] -> [128, GC] bf16, zero rows beyond F
-        return jnp.pad(w.astype(bf16), ((0, LANES - w.shape[0]), (0, 0)))
+    def wpad(w):  # [F, GC] -> [128, GC] cd, zero rows beyond F
+        return jnp.pad(w.astype(cd), ((0, LANES - w.shape[0]), (0, 0)))
 
     wl2_dense = jax.scipy.linalg.block_diag(
         *[params["l2"]["w"][g] for g in range(G)]
-    ).astype(bf16)
+    ).astype(cd)
 
     GP = LANES
     gate_of_col = np.repeat(np.arange(G), C)
     gred = np.zeros((GC, GP), np.float32)
     gred[np.arange(GC), gate_of_col] = 1.0
-    gexp = jnp.asarray(gred.T, bf16)
-    gred = jnp.asarray(gred, bf16)
+    gexp = jnp.asarray(gred.T, cd)
+    gred = jnp.asarray(gred, cd)
 
     T = min(tile, Nd)
     while Nd % T:

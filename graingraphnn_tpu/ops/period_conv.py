@@ -49,9 +49,11 @@ POS_DIM = 3  # (x, y, z) leading feature columns carry node position
 
 # When True, the fused Pallas edge-stage kernel (kernels.edge_stage) replaces
 # the XLA formulation below. Toggle with use_pallas_kernels(); numerics match
-# to ~1e-3 (fp32 re-association). The Pallas path also compiles ~40x faster
-# under lax.scan-heavy training loops.
+# to ~1e-3 with bf16 operands (_PALLAS_DTYPE, default) or ~1e-6 fp32
+# re-association with f32 operands. The Pallas path also compiles ~40x
+# faster under lax.scan-heavy training loops.
 _USE_PALLAS = False
+_PALLAS_DTYPE = jnp.bfloat16
 
 # Optional low-precision compute: matmuls/gathers run in bfloat16 with fp32
 # accumulation; attention softmax stays fp32. ~4x MXU peak on v5e-class
@@ -59,9 +61,15 @@ _USE_PALLAS = False
 _COMPUTE_DTYPE = None
 
 
-def use_pallas_kernels(enabled: bool = True):
-    global _USE_PALLAS
+def use_pallas_kernels(enabled: bool = True, dtype=None):
+    """enabled: route attention convs through the fused Pallas kernel.
+    dtype: kernel matmul operand precision (jnp.bfloat16 default, or
+    jnp.float32 for the fusion-only speedup at fp32 precision); None
+    keeps the current setting."""
+    global _USE_PALLAS, _PALLAS_DTYPE
     _USE_PALLAS = enabled
+    if dtype is not None:
+        _PALLAS_DTYPE = dtype
 
 
 def set_compute_dtype(dtype=None):
@@ -143,6 +151,7 @@ def apply_period_conv(
         return apply_period_conv_pallas(
             params, x_src, x_dst, nbr, edge_len, nbr_mask,
             num_gates=num_gates, out_channels=out_channels,
+            compute_dtype=_PALLAS_DTYPE,
         )
     G, C = num_gates, out_channels
     Nd, K = nbr.shape

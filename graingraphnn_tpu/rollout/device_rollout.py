@@ -621,6 +621,20 @@ def device_step(
     return new_state, aux
 
 
+def _pallas_mode(pallas):
+    """Normalize the scan factories' `pallas` option: False/None = XLA
+    fp32 formulation; True/'bf16' = fused Pallas conv with bf16 operands
+    (fastest, ~1e-3 forward noise); 'fp32' = fused Pallas conv with f32
+    operands (fusion speedup at the XLA path's precision class)."""
+    if pallas in (False, None):
+        return False, None
+    if pallas is True or pallas == "bf16":
+        return True, jnp.bfloat16
+    if pallas == "fp32":
+        return True, jnp.float32
+    raise ValueError(f"pallas mode {pallas!r}")
+
+
 def make_rollout_scan(
     reg_params, hp_r, cls_params, hp_c,
     *,
@@ -648,12 +662,15 @@ def make_rollout_scan(
     numerics tradeoff; composes with either forward."""
     from ..ops import period_conv
 
+    enabled, pdtype = _pallas_mode(pallas)
+
     @jax.jit
     def run(state: DeviceRolloutState):
         # flag is consumed at trace time, which is exactly when this body
         # executes — restore afterwards so other traces are unaffected
         old = period_conv._USE_PALLAS
-        period_conv.use_pallas_kernels(pallas)
+        old_dt = period_conv._PALLAS_DTYPE
+        period_conv.use_pallas_kernels(enabled, pdtype)
         try:
             def body(st, _):
                 st, aux = device_step(
@@ -667,7 +684,7 @@ def make_rollout_scan(
 
             return jax.lax.scan(body, state, None, length=n_steps)
         finally:
-            period_conv.use_pallas_kernels(old)
+            period_conv.use_pallas_kernels(old, old_dt)
 
     return run
 
@@ -858,17 +875,20 @@ def make_rollout_scan_batched(
             span=span, ring=ring, fused_editor=fused_editor, t_max=t_max,
         )
 
+    enabled, pdtype = _pallas_mode(pallas)
+
     @jax.jit
     def run(state: DeviceRolloutState):
         old = period_conv._USE_PALLAS
-        period_conv.use_pallas_kernels(pallas)
+        old_dt = period_conv._PALLAS_DTYPE
+        period_conv.use_pallas_kernels(enabled, pdtype)
         try:
             def body(st, _):
                 return jax.vmap(step)(st)
 
             return jax.lax.scan(body, state, None, length=n_steps)
         finally:
-            period_conv.use_pallas_kernels(old)
+            period_conv.use_pallas_kernels(old, old_dt)
 
     return run
 
