@@ -944,7 +944,14 @@ def init_device_state(
     EP = pp_cap or round_up(connect.shape[1] + slack, 128)
     E_pp = np.full((2, EP), -1, np.int32)
     E_pp[:, : connect.shape[1]] = connect
-    pull = np.asarray(edges["pull"], np.int64)
+    pull_in = np.asarray(edges["pull"], np.int64)
+    # dead tail columns: topology_jit's bounded _nonzero queries fill with
+    # the LAST column id and guard logic may read its values — a dead tail
+    # makes those reads inert, which the working-set editor
+    # (rollout.editor_workset) relies on for exactness
+    EQ = round_up(pull_in.shape[1] + 1, 128)
+    pull = np.full((2, EQ), -1, np.int64)
+    pull[:, : pull_in.shape[1]] = pull_in
 
     pull_cols = push_cols = connect_cols = None
     if incremental:

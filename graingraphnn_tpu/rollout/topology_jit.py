@@ -600,16 +600,24 @@ def _ring_collapse(state: TopoState, g, y_grain, active_g=None):
     return state, ok, events, n_events, forces
 
 
-def _two_sided_cleanup(state: TopoState, num_grains, budget: int = MAX_TWOSIDED):
+def _two_sided_cleanup(state: TopoState, num_grains, budget: int = MAX_TWOSIDED,
+                       g_mask=None):
     """Single pass over grains left with <= 2 live ring edges
     (models.py:712-722,745-757). `budget` scales with the lane count for
-    packed multi-rollout states."""
+    packed multi-rollout states.
+
+    g_mask ([NG] bool, optional) restricts cleanup candidates — the
+    working-set editor (editor_workset) passes its footprint so grains
+    whose columns are only partially present in the mini graph can't be
+    misread as two-sided (their true counts are unchanged this span)."""
     E_pq = state.E_pq
     live = E_pq[1] >= 0
     counts = jnp.zeros(num_grains, jnp.int32).at[
         jnp.where(live, E_pq[1], num_grains)
     ].add(1, mode="drop")
     bad = (counts > 0) & (counts <= 2)
+    if g_mask is not None:
+        bad = bad & g_mask
     targets = _nonzero(bad, budget, -1)
     targets = jnp.where(targets >= 0, targets, -1)
 
@@ -640,6 +648,7 @@ def update_jit(
     num_grains: int,
     active_g: jnp.ndarray | None = None,  # [NG] bool meltpool window, None = all
     max_switch: int = MAX_SWITCH,
+    cleanup_g_mask: jnp.ndarray | None = None,  # [NG] bool, see _two_sided_cleanup
 ):
     """Full device-side topology update. Nucleation (array growth) runs as a
     separate pass afterwards — see nucleate_jit, mirroring the host editor's
@@ -709,7 +718,8 @@ def update_jit(
         L1 = jnp.where(hit.any(axis=1), -1, L1)
         state, dropped = jax.lax.cond(
             ok,
-            lambda s: _two_sided_cleanup(s, num_grains, ts_budget),
+            lambda s: _two_sided_cleanup(s, num_grains, ts_budget,
+                                         cleanup_g_mask),
             lambda s: (s, jnp.full((ts_budget,), -1, jnp.int32)),
             state,
         )
@@ -742,7 +752,8 @@ def update_jit(
         -1,
     )
 
-    state, dropped = _two_sided_cleanup(state, num_grains, ts_budget)
+    state, dropped = _two_sided_cleanup(state, num_grains, ts_budget,
+                                        cleanup_g_mask)
     extra, n_extra = put_extra(extra, n_extra, dropped)
     return state, switching, extra
 

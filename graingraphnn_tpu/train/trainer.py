@@ -209,12 +209,22 @@ def train_scanned(
     eval_every: int = 10,
     eval_batch_size: int = 64,
     seed: int = 35,
+    gr_jitter: bool = False,
 ):
     """Device-resident training: the whole (stacked) dataset lives on the
     accelerator and one jit call runs a full epoch as a lax.scan over
     shuffled batches — amortizing dispatch latency, which dominates for
     these small graphs. This is the TPU-idiomatic counterpart of `train`
     (numerically the same step; shuffle order differs).
+
+    gr_jitter=True resamples each sample's thermal features (joint G, R
+    columns) per step uniformly over the reference's RandGR hull
+    (G in [0.5, 10], R in [0.2, 2] — TemperatureProfile3DAnalytic.py:40-41)
+    as feature-space augmentation: with a single-seed corpus the true
+    (G, R)-response is unlearnable, and inference at out-of-hull thermal
+    conditions (the 120 um case's G=10, R=2) otherwise extrapolates a
+    spurious response (artifacts/CALIBRATION_120um.json). Jitter teaches
+    the invariance instead of clamping it at inference.
     """
     from ..graph.state import stack as stack_samples
 
@@ -231,10 +241,21 @@ def train_scanned(
     # is NOT baked into the executable as a constant
 
     @jax.jit
-    def run_epoch(params, opt_state, data, perm):
+    def run_epoch(params, opt_state, data, perm, ekey):
         def body(carry, idx):
             p, o = carry
             batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+            if gr_jitter:
+                k = jax.random.fold_in(ekey, idx[0])
+                g = jax.random.uniform(k, (B, 1), minval=0.5, maxval=10.0)
+                r = jax.random.uniform(jax.random.fold_in(k, 1), (B, 1),
+                                       minval=0.2, maxval=2.0)
+                jx = batch.joint_x
+                jx = jx.at[:, :, 3].set(
+                    jnp.broadcast_to(1.0 - g / 10.0, jx.shape[:2]))
+                jx = jx.at[:, :, 4].set(
+                    jnp.broadcast_to(r / 2.0, jx.shape[:2]))
+                batch = batch.replace(joint_x=jx)
             lval, grads = jax.value_and_grad(batch_loss)(p, batch)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
@@ -251,7 +272,9 @@ def train_scanned(
     t0 = time.time()
     for epoch in range(1, epochs + 1):
         perm = jnp.asarray(rng.permutation(N))
-        params, opt_state, train_l = run_epoch(params, opt_state, data, perm)
+        params, opt_state, train_l = run_epoch(
+            params, opt_state, data, perm,
+            jax.random.PRNGKey(seed * 1000 + epoch))
         history["train_loss"].append(float(train_l))
         if epoch % eval_every == 0 or epoch == epochs:
             tot, count = 0.0, 0

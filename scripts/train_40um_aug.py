@@ -23,6 +23,10 @@ parser.add_argument("--batch", type=int, default=8)
 parser.add_argument("--pos_weight", type=float, default=4.0)
 parser.add_argument("--data", default="/root/repo/data_cache/graphs/train_seed10020.pkl")
 parser.add_argument("--out", default="/root/repo/data_cache/model_aug")
+parser.add_argument("--gr_jitter", action="store_true",
+                    help="resample joint (G, R) features per step over the "
+                         "RandGR hull (feature augmentation for thermal "
+                         "robustness, VERDICT r3 task 5)")
 parser.add_argument("--skip_regressor", action="store_true")
 parser.add_argument("--skip_classifier", action="store_true")
 args = parser.parse_args()
@@ -81,7 +85,8 @@ if not args.skip_regressor:
     )
     params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
     t0 = time.time()
-    params_r, hist = trainer.train_scanned(hp_r, params_r, train_ds, valid_ds)
+    params_r, hist = trainer.train_scanned(hp_r, params_r, train_ds, valid_ds,
+                                       gr_jitter=args.gr_jitter)
     print("regressor training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(os.path.join(args.out, "regressor0"), params_r, hp_r)
 else:
@@ -96,7 +101,8 @@ if not args.skip_classifier:
         jax.random.PRNGKey(36), hp_c, regressor_params=params_r
     )
     t0 = time.time()
-    params_c, hist_c = trainer.train_scanned(hp_c, params_c, train_ds, valid_ds)
+    params_c, hist_c = trainer.train_scanned(hp_c, params_c, train_ds, valid_ds,
+                                         gr_jitter=args.gr_jitter)
     print("classifier training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(
         os.path.join(args.out, "classifier1"), params_c, hp_c,
