@@ -560,6 +560,32 @@ def device_step(
     sample, y_r, y_c, overflow = forward_stage(
         reg_params, hp_r, cls_params, hp_c, state, ring
     )
+    message_edges = (sample.push_mask.sum() + sample.pull_mask.sum()
+                     + sample.connect_mask.sum())
+    return post_forward_step(
+        state, y_r, y_c, overflow, message_edges,
+        r_threshold=r_threshold, c_threshold=c_threshold, span=span,
+        ring=ring, max_elim=max_elim, max_switch=max_switch,
+        fused_editor=fused_editor, t_max=t_max,
+    )
+
+
+def post_forward_step(
+    state: DeviceRolloutState,
+    y_r, y_c, overflow, message_edges,
+    *,
+    r_threshold: float = 1e-4,
+    c_threshold: float = 0.6,
+    span: int = 6,
+    ring: int = tj.RING_MAX,
+    max_elim: int = tj.MAX_ELIM,
+    max_switch: int = tj.MAX_SWITCH,
+    fused_editor: bool = False,
+    t_max: int = 256,
+) -> tuple[DeviceRolloutState, Dict]:
+    """Steps <2>-<5> given the forward outputs — split out so the hybrid
+    batched rollout can run ONE packed forward over all lanes (B x-taller
+    GEMMs, no vmapped gathers) and vmap only this part."""
     pred_j = y_r["joint"]
     pred_g = y_r["grain"]
 
@@ -607,9 +633,7 @@ def device_step(
         "grain_events": ge,
         "extra_events": extra,
         "switching": switching,
-        "message_edges": sample.push_mask.sum()
-        + sample.pull_mask.sum()
-        + sample.connect_mask.sum(),
+        "message_edges": message_edges,
         "ring_overflow": overflow,
         # editor appends write with mode="drop"; a cursor past capacity means
         # columns were silently dropped — callers MUST fail on this flag
@@ -853,6 +877,7 @@ def make_rollout_scan_batched(
     pallas: bool = False,
     fused_editor: bool = False,
     t_max: int = 256,
+    packed_forward: bool = False,
 ):
     """Jitted scan of B independent rollouts advanced together by one
     vmapped device_step — the chip-filling configuration (VERDICT round-2
@@ -865,7 +890,15 @@ def make_rollout_scan_batched(
     kernel instances, each with single-lane budgets and vector widths. A
     block-diagonal pack_states graph instead scales the editor's serial
     chains AND its vector length by B (~B^2 editor cost — measured 140
-    ms/step vs this path at the 8x120um scale)."""
+    ms/step vs this path at the 8x120um scale).
+
+    packed_forward=True is the HYBRID configuration (VERDICT r3 task 4):
+    the per-lane samples are packed into ONE flat node table for the
+    model forwards (B x-taller GEMMs, no vmapped gather lowerings — the
+    forward was 37% of the step at 12% MXU utilization), predictions are
+    unpacked, and only the post-forward stages (integration, editor, ELL
+    maintenance) run vmapped. Lane-exact vs the all-vmapped path up to
+    matmul row-blocking fp noise."""
     from ..ops import period_conv
 
     def step(st):
@@ -874,6 +907,31 @@ def make_rollout_scan_batched(
             r_threshold=r_threshold, c_threshold=c_threshold,
             span=span, ring=ring, fused_editor=fused_editor, t_max=t_max,
         )
+
+    def post(st, y_r, y_c, ovf, edges):
+        return post_forward_step(
+            st, y_r, y_c, ovf, edges,
+            r_threshold=r_threshold, c_threshold=c_threshold,
+            span=span, ring=ring, fused_editor=fused_editor, t_max=t_max,
+        )
+
+    def hybrid_body(st):
+        B = st.xg.shape[0]
+        NG, NJ = st.xg.shape[1], st.xj.shape[1]
+        samples, ovf = jax.vmap(lambda s: make_sample(s, ring))(st)
+        edges = (samples.push_mask.sum(axis=(1, 2))
+                 + samples.pull_mask.sum(axis=(1, 2))
+                 + samples.connect_mask.sum(axis=(1, 2)))
+        packed = _pack_sample_rows(samples)
+        y_r = grain_nn.apply_regressor(reg_params, hp_r, packed)
+        y_c = grain_nn.apply_classifier(cls_params, hp_c, packed)
+        y_rb = {
+            "joint": y_r["joint"].reshape(B, NJ, -1),
+            "grain": y_r["grain"].reshape(B, NG, -1),
+            "grain_area": y_r["grain_area"].reshape(B, NG),
+        }
+        y_cb = {"edge_event": y_c["edge_event"].reshape(B, -1)}
+        return jax.vmap(post)(st, y_rb, y_cb, ovf, edges)
 
     enabled, pdtype = _pallas_mode(pallas)
 
@@ -884,6 +942,8 @@ def make_rollout_scan_batched(
         period_conv.use_pallas_kernels(enabled, pdtype)
         try:
             def body(st, _):
+                if packed_forward:
+                    return hybrid_body(st)
                 return jax.vmap(step)(st)
 
             return jax.lax.scan(body, state, None, length=n_steps)
@@ -891,6 +951,42 @@ def make_rollout_scan_batched(
             period_conv.use_pallas_kernels(old, old_dt)
 
     return run
+
+
+def _pack_sample_rows(s: GraphSample) -> GraphSample:
+    """Flatten a [B, ...]-batched GraphSample into one big graph whose
+    neighbor indices are offset per lane — the forward then runs as ONE
+    set of (B*N)-row GEMMs instead of B vmapped ones. Lanes never
+    reference each other (ELL indices are lane-local by construction)."""
+    B, NG = s.grain_x.shape[:2]
+    NJ = s.joint_x.shape[1]
+    E = s.jj_src.shape[1]
+    g_off = (jnp.arange(B, dtype=jnp.int32) * NG)[:, None, None]
+    j_off = (jnp.arange(B, dtype=jnp.int32) * NJ)[:, None, None]
+
+    def rows(a):
+        return a.reshape((-1,) + a.shape[2:])
+
+    return GraphSample(
+        grain_x=rows(s.grain_x), joint_x=rows(s.joint_x),
+        grain_mask=rows(s.grain_mask), joint_mask=rows(s.joint_mask),
+        push_nbr=rows(s.push_nbr + g_off),
+        push_len=rows(s.push_len), push_mask=rows(s.push_mask),
+        connect_nbr=rows(s.connect_nbr + j_off),
+        connect_len=rows(s.connect_len), connect_mask=rows(s.connect_mask),
+        pull_nbr=rows(s.pull_nbr + j_off),
+        pull_len=rows(s.pull_len), pull_mask=rows(s.pull_mask),
+        jj_src=rows(s.jj_src + j_off[:, :, 0]),
+        jj_dst=rows(s.jj_dst + j_off[:, :, 0]),
+        jj_len=rows(s.jj_len), jj_mask=rows(s.jj_mask),
+        y_grain=rows(s.y_grain), y_joint=rows(s.y_joint),
+        y_edge_event=rows(s.y_edge_event),
+        y_grain_event=rows(s.y_grain_event),
+        y_edge=rows(s.y_edge), y_edge_mask=rows(s.y_edge_mask),
+        n_grain_rows=s.n_grain_rows.sum(),
+        n_joint_rows=s.n_joint_rows.sum(),
+        n_jj_rows=s.n_jj_rows.sum(),
+    )
 
 
 def _cols_np(src, dst, num_dst: int, cap: int, what: str) -> np.ndarray:

@@ -210,6 +210,7 @@ def train_scanned(
     eval_batch_size: int = 64,
     seed: int = 35,
     gr_jitter: bool = False,
+    gr_jitter_p: float = 1.0,
 ):
     """Device-resident training: the whole (stacked) dataset lives on the
     accelerator and one jit call runs a full epoch as a lax.scan over
@@ -250,11 +251,19 @@ def train_scanned(
                 g = jax.random.uniform(k, (B, 1), minval=0.5, maxval=10.0)
                 r = jax.random.uniform(jax.random.fold_in(k, 1), (B, 1),
                                        minval=0.2, maxval=2.0)
+                # per-sample coin: keep the true thermal features with
+                # probability 1-p so in-hull sharpness is preserved
+                keep = jax.random.uniform(
+                    jax.random.fold_in(k, 2), (B, 1)) >= gr_jitter_p
                 jx = batch.joint_x
+                gcol = jnp.where(keep, jx[:, :1, 3],
+                                 jnp.broadcast_to(1.0 - g / 10.0, (B, 1)))
+                rcol = jnp.where(keep, jx[:, :1, 4],
+                                 jnp.broadcast_to(r / 2.0, (B, 1)))
                 jx = jx.at[:, :, 3].set(
-                    jnp.broadcast_to(1.0 - g / 10.0, jx.shape[:2]))
+                    jnp.broadcast_to(gcol, jx.shape[:2]))
                 jx = jx.at[:, :, 4].set(
-                    jnp.broadcast_to(r / 2.0, jx.shape[:2]))
+                    jnp.broadcast_to(rcol, jx.shape[:2]))
                 batch = batch.replace(joint_x=jx)
             lval, grads = jax.value_and_grad(batch_loss)(p, batch)
             updates, o = tx.update(grads, o, p)

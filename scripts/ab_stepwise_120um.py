@@ -68,7 +68,7 @@ def scale_feature_patchs(torch, factor, x_dict, edge_attr_dict, boundary):
 
 
 class RefSession120:
-    def __init__(self, model_dir: str):
+    def __init__(self, model_dir: str, force_gr=None):
         sys.path.insert(0, f"{REPO}/tools/pygshim")
         sys.path.insert(1, REFERENCE)
         os.environ["MPLBACKEND"] = "Agg"
@@ -87,6 +87,28 @@ class RefSession120:
         torch.manual_seed(0)
         np.random.seed(0)
 
+        # tolerant periodic_move: the upstream assert (graph_datastruct.py
+        # :70-71) trips at scaled domains once joints drift across patch
+        # boundaries (the static domain_offset goes stale and the
+        # unscaled ring coordinates jump by a patch width). The wrap
+        # formula itself is unchanged — only the assert is dropped, so
+        # spans the upstream code CAN evaluate are evaluated identically.
+        import graph_datastruct as gds
+
+        def periodic_move_tolerant(p, pc):
+            x, y = p
+            xc, yc = pc
+            rel_x = x - xc
+            rel_y = y - yc
+            x += -1 * (rel_x > 0.5) + 1 * (rel_x < -0.5)
+            y += -1 * (rel_y > 0.5) + 1 * (rel_y < -0.5)
+            return [x, y]
+
+        gds.periodic_move = periodic_move_tolerant
+        import graph_trajectory as gt_mod
+
+        gt_mod.periodic_move = periodic_move_tolerant
+
         # generate-mode trajectory: same constructor call and RNG order as
         # the branch that produced the shipped pickle
         # (graph_trajectory.py:1298)
@@ -101,6 +123,17 @@ class RefSession120:
         with open(PKL, "rb") as inp:
             test_list = [dill.load(inp)[0]]
         sample = test_list[0]
+        if force_gr is not None:
+            # in-hull thermal counterfactual (CALIBRATION_120um protocol):
+            # the shipped G=10, R=2 is outside the single-seed training
+            # hull and the rollout degenerates within ~13 spans — the
+            # reference's own editor then crashes (models.py:681) on its
+            # mass-eliminated graph. Forcing the training (G, R) keeps
+            # the rollout healthy so the edit-set comparison can certify
+            # the full horizon at 1043 grains.
+            G, R = force_gr
+            sample.feature_dicts["joint"][:, 3] = 1 - G / 10
+            sample.feature_dicts["joint"][:, 4] = R / 2
         tensor = DynamicHeteroGraphTemporalSignal(test_list)
         heteroData = tensor[0]
 
@@ -233,13 +266,21 @@ class RefSession120:
                 int(g) for g in pred["grain_event"].detach().numpy())
 
             topo = len(pred["grain_event"]) > 0 or len(pairs) > 0
+            # GNN_update consumes GLOBAL coordinates at scaled domains
+            # (test.py:471-478); region centers come back global and are
+            # re-wrapped into patch coordinates (test.py:556-559)
+            factor = self.geometry_scaling["domain_factor"]
             X = {k: v.clone() for k, v in data.x_dict.items()}
+            X["joint"][:, :2] = (
+                X["joint"][:, :2] + self.geometry_scaling["domain_offset"]
+            ) / factor
             traj.GNN_update(frame, X, data["mask"], topo,
                             data.edge_index_dict, False)
 
             # <5> next-step inputs: graph-derived region centers + lengths
             for grain, coor in traj.region_center.items():
-                data.x_dict["grain"][grain - 1, :2] = torch.FloatTensor(coor)
+                data.x_dict["grain"][grain - 1, :2] = (
+                    torch.FloatTensor(coor) * factor) % 1
             data.edge_attr_dict = {}
             for edge_type, index in data.edge_index_dict.items():
                 src_x = data.x_dict[edge_type[0]][index[0], :2]
@@ -267,6 +308,12 @@ def main():
     ap.add_argument("--workdir", type=str, default="/tmp/ab_stepwise_120")
     ap.add_argument("--tol_prob", type=float, default=0.02)
     ap.add_argument("--tol_area", type=float, default=2e-5)
+    ap.add_argument("--force_gr", type=float, nargs=2, default=None,
+                    metavar=("G", "R"),
+                    help="overwrite thermal features (in-hull "
+                         "counterfactual; keeps the rollout healthy for "
+                         "a full-horizon comparison)")
+    ap.add_argument("--tag", type=str, default="")
     args = ap.parse_args()
 
     # export torch weights (same bridge as the 40um harness)
@@ -280,17 +327,24 @@ def main():
         torch_bridge.save_torch_checkpoint(f"{model}/{name}.pt", params, hp)
 
     ours = OursSession(0)
-    ref = RefSession120(model)
+    ref = RefSession120(model, force_gr=args.force_gr)
     span = ref.span
     frames = ref.traj.frames
     n_spans = min(args.spans, (frames - 1) // span)
 
     spans = []
+    ref_crash = None
     for k in range(n_spans):
         frame = span * (k + 1)
         snap = ref.snapshot()
         print(f"span {k + 1}/{n_spans} (frame {frame}) ...", flush=True)
-        dec_ref = ref.run_span(frame)
+        try:
+            dec_ref = ref.run_span(frame)
+        except AssertionError as e:
+            print(f"  reference editor crashed on its own state at span "
+                  f"{k + 1}: {e!r} — comparison ends here", flush=True)
+            ref_crash = f"span {k + 1}: {e!r}"
+            break
         dec_ours = ours.run_span(copy.deepcopy(snap), span)
         rec = classify_span(dec_ref, dec_ours, args.tol_prob, args.tol_area)
         rec["frame"] = frame
@@ -308,6 +362,8 @@ def main():
         "case": os.path.basename(PKL), "grains": 1043, "span": span,
         "n_spans": len(spans), "counts": counts,
         "ref_events_total": len(set(ref.grain_event_list)),
+        "force_gr": args.force_gr,
+        "reference_crash": ref_crash,
         "regen_traj_edge_overlap": ref.regen_overlap,
         "spans": spans,
     }
@@ -328,7 +384,8 @@ def main():
     for r in slim["spans"]:
         for k in ("pp_after", "pq_after", "joint_pos"):
             r.pop(k, None)
-    with open(f"{REPO}/artifacts/ab/AB_STEPWISE_120um.json", "w") as f:
+    suffix = args.tag
+    with open(f"{REPO}/artifacts/ab/AB_STEPWISE_120um{suffix}.json", "w") as f:
         json.dump(slim, f, indent=1, default=default)
 
     lines = [
@@ -343,7 +400,7 @@ def main():
         + " ".join(r["class"][0] for r in spans)
         + "  (m=match, k=knife-edge, r=rule-mismatch)",
     ]
-    with open(f"{REPO}/artifacts/ab/AB_STEPWISE_120um.md", "w") as f:
+    with open(f"{REPO}/artifacts/ab/AB_STEPWISE_120um{suffix}.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
 

@@ -23,6 +23,7 @@ parser.add_argument("--batch", type=int, default=8)
 parser.add_argument("--pos_weight", type=float, default=4.0)
 parser.add_argument("--data", default="/root/repo/data_cache/graphs/train_seed10020.pkl")
 parser.add_argument("--out", default="/root/repo/data_cache/model_aug")
+parser.add_argument("--gr_jitter_p", type=float, default=1.0)
 parser.add_argument("--gr_jitter", action="store_true",
                     help="resample joint (G, R) features per step over the "
                          "RandGR hull (feature augmentation for thermal "
@@ -86,7 +87,8 @@ if not args.skip_regressor:
     params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
     t0 = time.time()
     params_r, hist = trainer.train_scanned(hp_r, params_r, train_ds, valid_ds,
-                                       gr_jitter=args.gr_jitter)
+                                       gr_jitter=args.gr_jitter,
+                                       gr_jitter_p=args.gr_jitter_p)
     print("regressor training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(os.path.join(args.out, "regressor0"), params_r, hp_r)
 else:
@@ -102,7 +104,8 @@ if not args.skip_classifier:
     )
     t0 = time.time()
     params_c, hist_c = trainer.train_scanned(hp_c, params_c, train_ds, valid_ds,
-                                         gr_jitter=args.gr_jitter)
+                                         gr_jitter=args.gr_jitter,
+                                       gr_jitter_p=args.gr_jitter_p)
     print("classifier training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(
         os.path.join(args.out, "classifier1"), params_c, hp_c,

@@ -577,3 +577,29 @@ def test_batched_scan_with_incremental_structures(setup):
             np.asarray(stb.xg[i, :ng]), np.asarray(st1.xg), atol=2e-5)
         assert (np.asarray(stb.pull_cols[i, :ng])
                 == np.asarray(st1.pull_cols)).all()
+
+
+def test_hybrid_packed_forward_matches_vmapped(setup):
+    """packed_forward=True (one flat forward over all lanes, vmapped
+    post-forward stages) must be lane-exact vs the all-vmapped scan up to
+    matmul row-blocking fp noise, with identical topology edits."""
+    rp, hp_r, cp, hp_c, hg0 = setup
+    traj2 = make_traj(seed=7)
+    hg2 = extraction.make_test_sample(traj2, span=6)
+    singles = [dr.state_from_heterograph(hg0), dr.state_from_heterograph(hg2)]
+    batched = dr.stack_states(singles)
+    runv = dr.make_rollout_scan_batched(
+        rp, hp_r, cp, hp_c, n_steps=3, c_threshold=0.9)
+    runh = dr.make_rollout_scan_batched(
+        rp, hp_r, cp, hp_c, n_steps=3, c_threshold=0.9,
+        packed_forward=True)
+    sv, av = runv(batched)
+    sh, ah = runh(batched)
+    np.testing.assert_allclose(np.asarray(sv.xg), np.asarray(sh.xg),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sv.xj), np.asarray(sh.xj),
+                               atol=2e-5)
+    assert (np.asarray(sv.E_pp) == np.asarray(sh.E_pp)).all()
+    assert (np.asarray(sv.mask_g) == np.asarray(sh.mask_g)).all()
+    assert (np.asarray(av["message_edges"])
+            == np.asarray(ah["message_edges"])).all()
