@@ -24,6 +24,13 @@ def main(argv=None):
     p.add_argument("--span", type=int, default=0)
     p.add_argument("--growth_height", type=float, default=-1)
     p.add_argument("--nucleation_density", type=float, default=0.0)
+    p.add_argument("--generate", action="store_true",
+                   help="generate mode (user_generate.py counterpart): "
+                        "roll a fresh Voronoi microstructure at --lxd with "
+                        "--G/--R thermal conditions — no PF truth, so "
+                        "compare is off")
+    p.add_argument("--G", type=float, default=10.0)
+    p.add_argument("--R", type=float, default=2.0)
     p.add_argument("--c_threshold", type=float, default=0.0,
                    help="override the checkpoint's edge-event threshold")
     p.add_argument("--no-compare", dest="compare", action="store_false")
@@ -61,11 +68,26 @@ def main(argv=None):
     from ..rollout.engine import RolloutEngine
     from ..train import checkpoint
 
-    traj = extraction.TrajectoryExtractor(
-        lxd=args.lxd, seed=args.seed, frames=121
-    )
-    traj.match_graph = False
-    traj.extract(args.rawdat_dir, cache_dir=args.cache_dir)
+    if args.generate:
+        import numpy as np
+
+        from ..data import heterograph
+
+        traj = extraction.TrajectoryExtractor(
+            lxd=args.lxd, seed=args.seed, frames=121, bc="periodic",
+            physical_params={"G": args.G, "R": args.R},
+        )
+        traj.area_counts = dict(
+            zip(*np.unique(traj.alpha_field, return_counts=True)))
+        traj.area_traj.append(dict(traj.area_counts))
+        traj.states.append(heterograph.tensorize(traj, 0))
+        args.compare = False
+    else:
+        traj = extraction.TrajectoryExtractor(
+            lxd=args.lxd, seed=args.seed, frames=121
+        )
+        traj.match_graph = False
+        traj.extract(args.rawdat_dir, cache_dir=args.cache_dir)
     hg0 = extraction.make_test_sample(traj, span=args.span or 6)
 
     params_r, hp_r, _ = checkpoint.load(
@@ -76,11 +98,10 @@ def main(argv=None):
     )
     c_threshold = args.c_threshold or extra.get("threshold", 0.6)
     if args.device_resident:
-        if args.temporal or args.interp_frames or args.plot3d \
-                or args.nucleation_density > 0:
+        if args.temporal or args.interp_frames or args.plot3d:
             p.error("--device_resident covers the periodic static-meltpool "
-                    "rollout; temporal/interp/nucleation/plot3D stay on the "
-                    "host engine")
+                    "rollout; temporal/interp/plot3D stay on the host "
+                    "engine")
         from ..rollout.device_driver import run_device_resident
 
         res = run_device_resident(
@@ -91,6 +112,7 @@ def main(argv=None):
             fused_editor={"auto": None, "on": True, "off": False}[
                 args.fused_editor],
             verbose=args.verbose,
+            nucleation_density=args.nucleation_density, seed=args.seed,
         )
     else:
         engine = RolloutEngine(

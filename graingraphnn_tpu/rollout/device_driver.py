@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 from typing import Dict
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..graph import schema
@@ -40,7 +41,7 @@ TRAIN_FRAMES = 120   # test.py:190
 TRAIN_DELTA_Z = 0.4  # test.py:191
 
 
-def init_scaled_state(hg0, traj, *, pp_cap=None):
+def init_scaled_state(hg0, traj, *, pp_cap=None, nucleation_slack=0):
     """Patch-rescaled device state from a test-mode HeteroState
     (engine.run:282-324 / test.py:29-55,310-312): for domains larger than
     the 40 um training patch, local geometry is scaled to the training
@@ -73,6 +74,7 @@ def init_scaled_state(hg0, traj, *, pp_cap=None):
     st = dr.init_device_state(
         {k: v.astype(np.float32) for k, v in x.items()}, edges,
         {"grain": mask["grain"], "joint": mask["joint"]}, pp_cap=pp_cap,
+        nucleation_slack=nucleation_slack,
     )
     return st, offset_j, domain_factor
 
@@ -96,6 +98,8 @@ def run_device_resident(
     pallas: bool = False,
     fused_editor: bool | None = None,
     verbose: bool = False,
+    nucleation_density: float = 0.0,
+    seed: int = 0,
 ) -> Dict:
     # fused_editor=None: auto — the single-launch Pallas editor
     # (kernels.editor_pallas, bit-identical edits, ~2x step time) on TPU;
@@ -107,7 +111,12 @@ def run_device_resident(
     if traj.BC != "periodic":
         raise ValueError("device-resident rollout covers periodic BC; "
                          "use the host engine for noflux")
-    st, offset_j, domain_factor = init_scaled_state(hg0, traj)
+    nuc = nucleation_density > 0
+    # generous headroom: nucleation events are rare (prob/joint ~1e-4)
+    nuc_slack = 256 if nuc else 0
+    st, offset_j, domain_factor = init_scaled_state(
+        hg0, traj, nucleation_slack=nuc_slack)
+    nuc_rng = np.random.default_rng(seed)
 
     pg = PlanarGraph(bc=traj.BC, imagesize=traj.imagesize)
     pg.raise_err = False
@@ -180,28 +189,48 @@ def run_device_resident(
             if verbose:
                 print(f"frame {frame}: layer error {pg.error_layer:.4f}")
 
+    from ..rollout import topology_jit as tj
+
+    nuc_density_term = (
+        nucleation_density * traj.lxd * traj.lxd * TRAIN_DELTA_Z
+        if nuc else 0.0)
     run_chunk = dr.make_rollout_scan(
         reg_params, hp_r, cls_params, hp_c,
         n_steps=eval_every, r_threshold=r_threshold,
         c_threshold=c_threshold, span=span, pallas=pallas,
-        fused_editor=fused_editor,
+        fused_editor=fused_editor, nuc_density_term=nuc_density_term,
     )
 
+    # frame-0 observation: seeds area/extraV trajectories (volume_graph
+    # indexes them aligned) and, under compare, the layer-error baseline
+    pg0 = dr.DeviceRolloutState(
+        xg=st.xg, xj=st.xj, E_pp=st.E_pp, E_pq=st.E_pq,
+        mask_g=st.mask_g, mask_j=st.mask_j, n_pp=st.n_pp)
+    observe(pg0, 0)
     if compare:
-        pg0 = dr.DeviceRolloutState(
-            xg=st.xg, xj=st.xj, E_pp=st.E_pp, E_pq=st.E_pq,
-            mask_g=st.mask_g, mask_j=st.mask_j, n_pp=st.n_pp)
-        observe(pg0, 0)
         layer_err_list[:] = [(traj.ini_height, layer_err_list[-1][1])]
 
     t0 = time.time()
     saturated_steps = 0
     done = 0
+    NJcap = int(st.xj.shape[0])
     while done < len(frames):
-        st, aux = run_chunk(st)
+        if nuc:
+            # per-step uniforms for the whole chunk (device-resident scan
+            # consumes them as xs); capacity-width draws — the stream
+            # deviates from the host engine's live-count-width draws, so
+            # cross-path event parity is certified by the oracle test
+            # (test_device_scan_nucleation_matches_oracle), not by seeds
+            rand = nuc_rng.random((eval_every, NJcap)).astype(np.float32)
+            angles = nuc_rng.random(
+                (eval_every, tj.MAX_NUC, 2)).astype(np.float32)
+            st, aux = run_chunk(st, jnp.asarray(rand), jnp.asarray(angles))
+        else:
+            st, aux = run_chunk(st)
         ge = np.asarray(aux["grain_events"])      # [chunk, MAX_ELIM]
         extra = np.asarray(aux["extra_events"])   # [chunk, MAX_EXTRA]
-        for flag in ("ring_overflow", "pp_overflow"):
+        for flag in (("ring_overflow", "pp_overflow", "nuc_overflow")
+                     if nuc else ("ring_overflow", "pp_overflow")):
             hits = np.asarray(aux[flag])
             if bool(hits.any()):
                 raise RuntimeError(
@@ -243,8 +272,14 @@ def run_device_resident(
     }
     delta_h = ((final_height - traj.ini_height) / traj.mesh_size
                / (frames_total - 1) * span * eval_every)
-    vol_pred = volume_graph(area_traj, extraV_traj, num_regions, delta_h)
-    result["misorientation"] = misorientation_curve(theta_z, vol_pred)
+    # nucleation grows the grain id range mid-rollout: size the volume
+    # arrays to the largest snapshot and pad orientations (nucleated
+    # grains carry graph-local random orientations, theta 0 here)
+    n_vol = max([num_regions] + [len(v) for v in extraV_traj])
+    vol_pred = volume_graph(area_traj, extraV_traj, n_vol, delta_h)
+    theta_pad = np.zeros(n_vol + 1)
+    theta_pad[: len(theta_z)] = theta_z
+    result["misorientation"] = misorientation_curve(theta_pad, vol_pred)
     if compare and hasattr(traj, "totalV_frames"):
         vol_truth = volume_truth(
             traj.totalV_frames, traj.extraV_frames, span, frames_total,

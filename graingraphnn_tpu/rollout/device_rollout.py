@@ -64,6 +64,12 @@ class DeviceRolloutState(NamedTuple):
     pull_cols: jnp.ndarray | None = None     # [NG, ring]  over E_pq, dst=row1
     push_cols: jnp.ndarray | None = None     # [NJ, 3]     over E_pq, dst=row0
     connect_cols: jnp.ndarray | None = None  # [NJ, 3]     over E_pp, dst=row1
+    # generate-mode nucleation cursors (None = nucleation-free): next free
+    # grain/joint row and E_pq append column (models.py:769-837 grows the
+    # arrays; the device scan pre-pads capacity and advances cursors)
+    n_g: jnp.ndarray | None = None
+    n_j: jnp.ndarray | None = None
+    n_pq: jnp.ndarray | None = None
 
 
 def _wrap(rel):
@@ -548,6 +554,9 @@ def device_step(
     max_switch: int = tj.MAX_SWITCH,
     fused_editor: bool = False,
     t_max: int = 256,
+    nuc_density_term: float = 0.0,
+    nuc_rand=None,
+    nuc_angles=None,
 ) -> tuple[DeviceRolloutState, Dict]:
     """One rollout span advance, fully traced (steps <1>-<5> of
     rollout.engine.run), composed from the stage functions above. Returns
@@ -567,6 +576,8 @@ def device_step(
         r_threshold=r_threshold, c_threshold=c_threshold, span=span,
         ring=ring, max_elim=max_elim, max_switch=max_switch,
         fused_editor=fused_editor, t_max=t_max,
+        nuc_density_term=nuc_density_term, nuc_rand=nuc_rand,
+        nuc_angles=nuc_angles,
     )
 
 
@@ -582,6 +593,9 @@ def post_forward_step(
     max_switch: int = tj.MAX_SWITCH,
     fused_editor: bool = False,
     t_max: int = 256,
+    nuc_density_term: float = 0.0,
+    nuc_rand=None,
+    nuc_angles=None,
 ) -> tuple[DeviceRolloutState, Dict]:
     """Steps <2>-<5> given the forward outputs — split out so the hybrid
     batched rollout can run ONE packed forward over all lanes (B x-taller
@@ -597,6 +611,31 @@ def post_forward_step(
         max_switch, fused=fused_editor,
     )
     xj = tstate.xj
+    n_g, n_j, n_pq = state.n_g, state.n_j, state.n_pq
+    nuc_overflow = jnp.asarray(False)
+    if nuc_density_term > 0.0:
+        # generate-mode nucleation (models.py:769-837; engine.py:588-591):
+        # per-joint probability = density * lxd^2 * dz / live joints, the
+        # uniform draws provided per step via the scan xs so oracle runs
+        # can force the exact host RNG stream
+        assert n_g is not None and n_pq is not None, \
+            "nucleation needs cursors: init_device_state(nucleation_slack)"
+        prob = nuc_density_term / jnp.maximum(
+            tstate.mask_j.sum().astype(jnp.float32), 1.0)
+        t2 = tstate._replace(q_ptr=n_pq)
+        t2, xg_n, n_g, n_j, _n_nuc = tj.nucleate_jit(
+            t2, xg, n_g, n_j, nuc_rand, nuc_angles, prob)
+        xg = xg_n
+        n_pq = t2.q_ptr
+        nuc_overflow = (
+            (n_g > state.xg.shape[0] - tj.MAX_NUC)
+            | (n_j > state.xj.shape[0] - 2 * tj.MAX_NUC)
+            | (n_pq > state.E_pq.shape[1] - 9 * tj.MAX_NUC)
+        )
+        tstate = tstate._replace(
+            E_pp=t2.E_pp, E_pq=t2.E_pq, xj=t2.xj, mask_g=t2.mask_g,
+            mask_j=t2.mask_j, append_ptr=t2.append_ptr)
+        xj = tstate.xj
     pull_cols = state.pull_cols
     push_cols = state.push_cols
     connect_cols = state.connect_cols
@@ -628,6 +667,7 @@ def post_forward_step(
         xg=xg, xj=xj, E_pp=E_pp, E_pq=tstate.E_pq,
         mask_g=tstate.mask_g, mask_j=tstate.mask_j, n_pp=n_pp,
         pull_cols=pull_cols, push_cols=push_cols, connect_cols=connect_cols,
+        n_g=n_g, n_j=n_j, n_pq=n_pq,
     )
     aux = {
         "grain_events": ge,
@@ -641,6 +681,9 @@ def post_forward_step(
         # candidates beyond the per-step elimination budget are deferred to
         # the next span (they keep shrinking); surfaced for diagnostics
         "elim_saturated": n_cand > max_elim,
+        # nucleation headroom bust: capacity cursors within MAX_NUC of the
+        # padded array ends — callers abort like ring/pp overflow
+        "nuc_overflow": nuc_overflow,
     }
     return new_state, aux
 
@@ -672,9 +715,16 @@ def make_rollout_scan(
     max_switch: int = tj.MAX_SWITCH,
     fused_editor: bool = False,
     t_max: int = 256,
+    nuc_density_term: float = 0.0,
 ):
     """Jitted n_steps-span rollout: state -> (state, aux-per-step). One
     compile per (capacity, n_steps); zero host transfers inside.
+
+    nuc_density_term > 0 enables generate-mode nucleation: call the
+    returned function as run(state, nuc_rand, nuc_angles) with per-step
+    uniform draws (nuc_rand [n_steps, NJcap] with pad rows >= 1.0,
+    nuc_angles [n_steps, MAX_NUC, 2]) — supplied as inputs so oracle runs
+    can force the exact host-editor RNG stream.
 
     pallas=True runs the model forwards through the fused bf16 Pallas conv
     (kernels.edge_stage) — ~1.3-1.7x faster per conv on TPU, with bf16
@@ -689,24 +739,29 @@ def make_rollout_scan(
     enabled, pdtype = _pallas_mode(pallas)
 
     @jax.jit
-    def run(state: DeviceRolloutState):
+    def run(state: DeviceRolloutState, nuc_rand=None, nuc_angles=None):
         # flag is consumed at trace time, which is exactly when this body
         # executes — restore afterwards so other traces are unaffected
         old = period_conv._USE_PALLAS
         old_dt = period_conv._PALLAS_DTYPE
         period_conv.use_pallas_kernels(enabled, pdtype)
         try:
-            def body(st, _):
+            def body(st, xs):
+                nr, na = (xs if xs is not None else (None, None))
                 st, aux = device_step(
                     reg_params, hp_r, cls_params, hp_c, st,
                     r_threshold=r_threshold, c_threshold=c_threshold,
                     span=span, ring=ring,
                     max_elim=max_elim, max_switch=max_switch,
                     fused_editor=fused_editor, t_max=t_max,
+                    nuc_density_term=nuc_density_term,
+                    nuc_rand=nr, nuc_angles=na,
                 )
                 return st, aux
 
-            return jax.lax.scan(body, state, None, length=n_steps)
+            xs = ((nuc_rand, nuc_angles)
+                  if nuc_density_term > 0.0 else None)
+            return jax.lax.scan(body, state, xs, length=n_steps)
         finally:
             period_conv.use_pallas_kernels(old, old_dt)
 
@@ -1017,6 +1072,7 @@ def init_device_state(
     pp_cap: int | None = None,
     ring: int = tj.RING_MAX,
     incremental: bool | None = None,
+    nucleation_slack: int = 0,
 ) -> DeviceRolloutState:
     """Pack host-layout arrays (rollout.engine's x/edges/mask dicts) into a
     padded device state. E_pp capacity defaults to the live count plus the
@@ -1036,7 +1092,8 @@ def init_device_state(
         incremental = np.asarray(edges["pull"]).shape[1] > _CROSSBAR_MAX_E
     connect = np.asarray(edges["connect"], np.int64)
     connect = connect[:, connect[0] >= 0]
-    slack = 2 * (tj.MAX_ELIM * 3 + tj.MAX_TWOSIDED + 2)
+    slack = 2 * (tj.MAX_ELIM * 3 + tj.MAX_TWOSIDED + 2) \
+        + 6 * nucleation_slack
     EP = pp_cap or round_up(connect.shape[1] + slack, 128)
     E_pp = np.full((2, EP), -1, np.int32)
     E_pp[:, : connect.shape[1]] = connect
@@ -1045,9 +1102,29 @@ def init_device_state(
     # the LAST column id and guard logic may read its values — a dead tail
     # makes those reads inert, which the working-set editor
     # (rollout.editor_workset) relies on for exactness
-    EQ = round_up(pull_in.shape[1] + 1, 128)
+    EQ = round_up(pull_in.shape[1] + 1 + 9 * nucleation_slack, 128)
     pull = np.full((2, EQ), -1, np.int64)
     pull[:, : pull_in.shape[1]] = pull_in
+
+    if nucleation_slack:
+        # pad node rows: nucleation appends 1 grain + 2 joints per event
+        def pad_rows_np(a, n, fill=0.0):
+            out = np.full((a.shape[0] + n,) + a.shape[1:], fill,
+                          np.asarray(a).dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        x = {"grain": pad_rows_np(np.asarray(x["grain"], np.float32),
+                                  nucleation_slack),
+             "joint": pad_rows_np(np.asarray(x["joint"], np.float32),
+                                  2 * nucleation_slack)}
+        mask = {
+            "grain": pad_rows_np(
+                np.asarray(mask["grain"]).reshape(-1), nucleation_slack, 0),
+            "joint": pad_rows_np(
+                np.asarray(mask["joint"]).reshape(-1),
+                2 * nucleation_slack, 0),
+        }
 
     pull_cols = push_cols = connect_cols = None
     if incremental:
@@ -1069,11 +1146,18 @@ def init_device_state(
         mask_j=jnp.asarray(np.asarray(mask["joint"]).reshape(-1), jnp.int32),
         n_pp=jnp.asarray(connect.shape[1], jnp.int32),
         pull_cols=pull_cols, push_cols=push_cols, connect_cols=connect_cols,
+        n_g=(jnp.asarray(len(x["grain"]) - nucleation_slack, jnp.int32)
+             if nucleation_slack else None),
+        n_j=(jnp.asarray(len(x["joint"]) - 2 * nucleation_slack, jnp.int32)
+             if nucleation_slack else None),
+        n_pq=(jnp.asarray(pull_in.shape[1], jnp.int32)
+              if nucleation_slack else None),
     )
 
 
 def state_from_heterograph(hg0, *, pp_cap: int | None = None,
-                           incremental: bool | None = None
+                           incremental: bool | None = None,
+                           nucleation_slack: int = 0
                            ) -> DeviceRolloutState:
     """Device state straight from a test-mode HeteroState (the engine's
     initialization, engine.py:193-214)."""
@@ -1090,4 +1174,5 @@ def state_from_heterograph(hg0, *, pp_cap: int | None = None,
         "joint": np.ones(len(x["joint"]), np.int64),
     }
     return init_device_state(x, edges, mask, pp_cap=pp_cap,
-                             incremental=incremental)
+                             incremental=incremental,
+                             nucleation_slack=nucleation_slack)

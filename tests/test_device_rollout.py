@@ -603,3 +603,82 @@ def test_hybrid_packed_forward_matches_vmapped(setup):
     assert (np.asarray(sv.mask_g) == np.asarray(sh.mask_g)).all()
     assert (np.asarray(av["message_edges"])
             == np.asarray(ah["message_edges"])).all()
+
+
+def test_device_scan_nucleation_matches_oracle(setup):
+    """Generate-mode nucleation in the device scan: one step with a forced
+    RNG stream must equal the oracle composition (update_jit edits, then
+    nucleate_jit with the same draws) — identical new nodes, edges,
+    cursors, and features; composes with the fused editor."""
+    rp, hp_r, cp, hp_c, hg0 = setup
+    slack = 16
+    st = dr.state_from_heterograph(hg0, nucleation_slack=slack,
+                                   incremental=True)
+    assert st.n_g is not None
+    NJcap = st.xj.shape[0]
+    NGcap = st.xg.shape[0]
+
+    rng = np.random.default_rng(42)
+    # force ~2 nucleation sites at live joints
+    rand = np.ones(NJcap, np.float32)
+    live_j = np.asarray(st.mask_j) > 0
+    sites = rng.choice(np.nonzero(live_j)[0], 2, replace=False)
+    rand[sites] = 0.0
+    angles = rng.random((tj.MAX_NUC, 2)).astype(np.float32)
+    density_term = 1.0  # prob = 1/live_joints > 0 — sites come from `rand`
+
+    run = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=1,
+                               c_threshold=0.99,
+                               nuc_density_term=density_term)
+    st1, aux = run(st, jnp.asarray(rand)[None], jnp.asarray(angles)[None])
+    assert not bool(np.asarray(aux["nuc_overflow"]).any())
+    assert int(st1.n_g) == int(st.n_g) + 2
+    assert int(st1.n_j) == int(st.n_j) + 4
+
+    # oracle: forward + integrate + update_jit + nucleate_jit by hand
+    sample, y_r, y_c, _ = jax.jit(
+        lambda s: dr.forward_stage(rp, hp_r, cp, hp_c, s, tj.RING_MAX))(st)
+    xg, xj = dr.integrate_stage(st, y_r["joint"], y_r["grain"], 6)
+    ge, _ = dr.elim_candidates(st, y_r["grain_area"], 1e-4)
+    jj_live = st.E_pp[0] >= 0
+    logits = jnp.where(jj_live, y_c["edge_event"], dr.NEG)
+    tstate = tj.TopoState(
+        E_pp=st.E_pp, E_pq=st.E_pq, xj=xj, y_joint=y_r["joint"],
+        mask_g=st.mask_g, mask_j=st.mask_j, append_ptr=st.n_pp,
+    )
+    t2, _sw, _ex = tj.update_jit(tstate, logits, ge, y_r["grain"], 0.99,
+                                 NGcap)
+    prob = density_term / float(np.asarray(t2.mask_j).sum())
+    t2 = t2._replace(q_ptr=st.n_pq)
+    t3, xg3, n_g3, n_j3, n_nuc = tj.nucleate_jit(
+        t2, xg, st.n_g, st.n_j, jnp.asarray(rand), jnp.asarray(angles),
+        prob)
+    assert int(n_nuc) == 2
+    assert (np.asarray(st1.mask_g) == np.asarray(t3.mask_g)).all()
+    assert (np.asarray(st1.mask_j) == np.asarray(t3.mask_j)).all()
+    assert (np.asarray(st1.E_pq) == np.asarray(t3.E_pq)).all()
+    # the scan finishes with the centers stage; mirror it here (atol:
+    # scan-context vs standalone compilation reassociates fp sums)
+    xg3 = dr.centers_stage(xg3, t3.xj, t3.E_pq, tj.RING_MAX)
+    np.testing.assert_allclose(np.asarray(st1.xg), np.asarray(xg3),
+                               atol=1e-6)
+    assert int(st1.n_pq) == int(t3.q_ptr)
+    # E_pp: scan compacts; compare live column SETS
+    live1 = np.asarray(st1.E_pp)[:, np.asarray(st1.E_pp[0]) >= 0]
+    live3 = np.asarray(t3.E_pp)[:, np.asarray(t3.E_pp[0]) >= 0]
+    assert set(map(tuple, live1.T)) == set(map(tuple, live3.T))
+    # persistent ELL structures stay consistent with the grown graph
+    ref_cols, ov = dr.build_pull_cols(
+        st1.E_pq[0], st1.E_pq[1], NGcap, tj.RING_MAX)
+    assert not bool(ov)
+    assert (np.asarray(st1.pull_cols) == np.asarray(ref_cols)).all()
+
+    # fused editor composes with nucleation
+    run_f = dr.make_rollout_scan(rp, hp_r, cp, hp_c, n_steps=1,
+                                 c_threshold=0.99, fused_editor=True,
+                                 nuc_density_term=density_term)
+    stf, auxf = run_f(st, jnp.asarray(rand)[None], jnp.asarray(angles)[None])
+    for f in ("xg", "xj", "E_pp", "E_pq", "mask_g", "mask_j", "n_pp",
+              "n_g", "n_j", "n_pq"):
+        assert (np.asarray(getattr(stf, f))
+                == np.asarray(getattr(st1, f))).all(), f
