@@ -105,7 +105,7 @@ def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False,
 
 
 def bench_rollout_batched(lxd: int, B: int = 8, n_steps: int = 20,
-                          pallas: bool = False):
+                          pallas=False, packed_forward: bool = False):
     """B independent rollouts advanced together by one vmapped fused step
     over stacked lanes — one launch evaluates a whole G,R grid of seeds
     (the reference runs them serially, plots/test_grid.py). vmap of the
@@ -124,7 +124,7 @@ def bench_rollout_batched(lxd: int, B: int = 8, n_steps: int = 20,
     st = dr.stack_states(states)
     run = dr.make_rollout_scan_batched(
         params_r, hp_r, params_c, hp_c, n_steps=n_steps, c_threshold=0.99,
-        pallas=pallas, fused_editor=True,
+        pallas=pallas, fused_editor=True, packed_forward=packed_forward,
     )
     st2, aux = run(st)
     _check_capacity(aux)
@@ -257,6 +257,12 @@ def main():
     rollout_120_pl, ms_120_pl = bench_rollout(120, pallas=True)
     rollout_40, ms_40 = bench_rollout(40, pallas=False)
     batched_eps, batched_ms = bench_rollout_batched(120, B=8)
+    # hybrid (round 4, VERDICT r3 task 4): packed forward over all lanes
+    # through the fused Pallas conv at f32 operands + per-lane vmapped
+    # fused editor — the first batched config to EXCEED the single-lane
+    # rate (throughput multiplier, not just capacity)
+    hybrid_eps, hybrid_ms = bench_rollout_batched(
+        120, B=8, pallas="fp32", packed_forward=True)
     train_eps = bench_train()
     row = {
         "metric": "rollout_edges_per_s_per_chip",
@@ -278,6 +284,12 @@ def main():
         ),
         "rollout_batched_8x120um_edges_per_s": round(batched_eps, 1),
         "rollout_batched_ms_per_step": round(batched_ms, 2),
+        "rollout_hybrid_8x120um_edges_per_s": round(hybrid_eps, 1),
+        "rollout_hybrid_ms_per_step": round(hybrid_ms, 2),
+        "rollout_hybrid_config": "packed forward (one flat 8-lane node "
+                                 "table through the fused Pallas conv, f32 "
+                                 "operands) + per-lane vmapped fused "
+                                 "editor",
         "train_edges_per_s": round(train_eps, 1),
         "train_vs_baseline": round(
             train_eps / REFERENCE_TRAIN_EDGES_PER_S, 3

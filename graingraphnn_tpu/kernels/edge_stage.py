@@ -160,7 +160,7 @@ def apply_period_conv_pallas(
     num_gates: int,
     out_channels: int,
     interpret: bool = False,
-    tile: int = 64,
+    tile: int | None = None,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.period_conv.apply_period_conv (attention
@@ -176,6 +176,13 @@ def apply_period_conv_pallas(
     G, C = num_gates, out_channels
     GC = G * C
     Nd_in, K = nbr.shape
+    if tile is None:
+        # measured on v5e (artifacts/kernels_tpu.json tile sweep): T=64 is
+        # best below ~2k destination rows, T=256 from there up (0.41->0.47
+        # MXU fraction at the 120um scale); T=512 busts scoped VMEM, and
+        # so does T=256 with f32 operands at K=16 (2x the stack bytes)
+        big = 256 if compute_dtype == jnp.bfloat16 else 128
+        tile = big if Nd_in >= 2048 else 64
     f_src = x_src.shape[1]
     assert f_src <= LANES and x_dst.shape[1] <= LANES
 

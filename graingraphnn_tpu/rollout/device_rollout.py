@@ -973,11 +973,18 @@ def make_rollout_scan_batched(
     def hybrid_body(st):
         B = st.xg.shape[0]
         NG, NJ = st.xg.shape[1], st.xj.shape[1]
-        samples, ovf = jax.vmap(lambda s: make_sample(s, ring))(st)
-        edges = (samples.push_mask.sum(axis=(1, 2))
-                 + samples.pull_mask.sum(axis=(1, 2))
-                 + samples.connect_mask.sum(axis=(1, 2)))
-        packed = _pack_sample_rows(samples)
+        if packed_forward == "full":
+            # build the sample directly in the packed id space: the ELL
+            # builders run ONCE over lane-offset COO (un-batched scatters,
+            # one sort) instead of B vmapped instances — and the packed
+            # forward consumes packed neighbor ids natively
+            packed, ovf, edges = _pack_build_sample(st, ring)
+        else:
+            samples, ovf = jax.vmap(lambda s: make_sample(s, ring))(st)
+            edges = (samples.push_mask.sum(axis=(1, 2))
+                     + samples.pull_mask.sum(axis=(1, 2))
+                     + samples.connect_mask.sum(axis=(1, 2)))
+            packed = _pack_sample_rows(samples)
         y_r = grain_nn.apply_regressor(reg_params, hp_r, packed)
         y_c = grain_nn.apply_classifier(cls_params, hp_c, packed)
         y_rb = {
@@ -1006,6 +1013,70 @@ def make_rollout_scan_batched(
             period_conv.use_pallas_kernels(old, old_dt)
 
     return run
+
+
+def _pack_build_sample(st: DeviceRolloutState, ring: int):
+    """Packed-space sample construction for the hybrid batched scan: lane
+    COO columns get node-id offsets and concatenate into one block-
+    diagonal graph; the single-graph ELL builders then run once (sorted
+    pull build — the packed edge count exceeds the crossbar cap). Returns
+    (packed GraphSample, per-lane ring-overflow [B], per-lane message
+    edges [B])."""
+    B, NG = st.xg.shape[:2]
+    NJ = st.xj.shape[1]
+    EQ = st.E_pq.shape[2]
+    EP = st.E_pp.shape[2]
+    g_off = (jnp.arange(B, dtype=jnp.int32) * NG)[:, None]
+    j_off = (jnp.arange(B, dtype=jnp.int32) * NJ)[:, None]
+
+    live_q = (st.E_pq[:, 0] >= 0) & (st.E_pq[:, 1] >= 0)      # [B, EQ]
+    pq_src = jnp.where(live_q, st.E_pq[:, 0] + j_off, -1).reshape(-1)
+    pq_dst = jnp.where(live_q, st.E_pq[:, 1] + g_off, -1).reshape(-1)
+    live_p = (st.E_pp[:, 0] >= 0) & (st.E_pp[:, 1] >= 0)      # [B, EP]
+    pp_a = jnp.where(live_p, st.E_pp[:, 0] + j_off, -1).reshape(-1)
+    pp_b = jnp.where(live_p, st.E_pp[:, 1] + j_off, -1).reshape(-1)
+
+    xg = st.xg.reshape(B * NG, -1)
+    xj = st.xj.reshape(B * NJ, -1)
+    pos_g, pos_j = xg[:, :2], xj[:, :2]
+    pq_len = _coo_lengths(pos_j, pos_g, pq_src, pq_dst)
+    pp_len = _coo_lengths(pos_j, pos_j, pp_a, pp_b)
+
+    push_nbr, push_len, push_mask, _ = build_ell_deg3(
+        pq_dst, pq_src, pq_len, B * NJ, schema.JG_DEGREE)
+    connect_nbr, connect_len, connect_mask, _ = build_ell_deg3(
+        pp_a, pp_b, pp_len, B * NJ, schema.JJ_DEGREE)
+    pull_nbr, pull_len, pull_mask, ovf_all = build_ell_sorted(
+        pq_src, pq_dst, pq_len, B * NG, ring)
+
+    jj_live = live_p.reshape(-1).astype(jnp.float32)
+    mask_g = st.mask_g.reshape(-1).astype(jnp.float32)
+    mask_j = st.mask_j.reshape(-1).astype(jnp.float32)
+    E = B * EP
+    zf = jnp.zeros
+    sample = GraphSample(
+        grain_x=xg, joint_x=xj, grain_mask=mask_g, joint_mask=mask_j,
+        push_nbr=push_nbr, push_len=push_len, push_mask=push_mask,
+        connect_nbr=connect_nbr, connect_len=connect_len,
+        connect_mask=connect_mask,
+        pull_nbr=pull_nbr, pull_len=pull_len, pull_mask=pull_mask,
+        jj_src=jnp.maximum(pp_a, 0), jj_dst=jnp.maximum(pp_b, 0),
+        jj_len=pp_len * jj_live, jj_mask=jj_live,
+        y_grain=zf((B * NG, 2), jnp.float32),
+        y_joint=zf((B * NJ, 2), jnp.float32),
+        y_edge_event=jnp.full((E,), float(schema.EDGE_EVENT_INVALID),
+                              jnp.float32),
+        y_grain_event=zf((B * NG,), jnp.float32),
+        y_edge=zf((E,), jnp.float32),
+        y_edge_mask=zf((E,), jnp.float32),
+        n_grain_rows=mask_g.sum(), n_joint_rows=mask_j.sum(),
+        n_jj_rows=jj_live.sum(),
+    )
+    edges = (push_mask.reshape(B, NJ, -1).sum(axis=(1, 2))
+             + pull_mask.reshape(B, NG, -1).sum(axis=(1, 2))
+             + connect_mask.reshape(B, NJ, -1).sum(axis=(1, 2)))
+    ovf = jnp.broadcast_to(ovf_all, (B,))
+    return sample, ovf, edges
 
 
 def _pack_sample_rows(s: GraphSample) -> GraphSample:

@@ -72,3 +72,28 @@ for lane in PARITY_LANES:
     assert abs(g1 - gb) <= 3, f"lane {lane}: grain-count divergence"
     assert abs(j1 - jb) <= 6, f"lane {lane}: joint-count divergence"
 print("BATCHED VMAP+FUSED CHECK OK", flush=True)
+
+# ---- hybrid: packed forward + vmapped editor (VERDICT r3 task 4) --------
+run_h = dr.make_rollout_scan_batched(
+    params_r, hp_r, params_c, hp_c, n_steps=N_STEPS, c_threshold=0.99,
+    fused_editor=True, packed_forward=True,
+)
+st3, aux3 = run_h(st)
+bench._check_capacity(aux3)
+dt_h = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    st3, aux3 = run_h(st)
+    np.asarray(aux3["message_edges"])
+    dt_h = min(dt_h, time.perf_counter() - t0)
+edges_h = float(np.asarray(aux3["message_edges"]).sum())
+print(f"hybrid packed-fwd: {dt_h / N_STEPS * 1e3:.3f} ms/step, "
+      f"{edges_h / dt_h:,.0f} edges/s", flush=True)
+# lane parity vs the all-vmapped batched scan (same category of fp noise
+# as the single-vs-batched comparison above)
+for lane in PARITY_LANES:
+    gb2 = int(np.asarray(st3.mask_g)[lane].sum())
+    gb = int(np.asarray(st2.mask_g)[lane].sum())
+    print(f"lane {lane}: live grains vmapped={gb} hybrid={gb2}", flush=True)
+    assert abs(gb2 - gb) <= 3
+print("HYBRID PACKED-FORWARD CHECK OK", flush=True)

@@ -116,8 +116,8 @@ def main():
     scales = (
         ("40um_scale", (128, 256), (64,)),
         ("120um_scale", (1024, 2048), (64, 128, 256)),
-        ("240um_scale_75k_edges", (4096, 8192), (64, 128, 256, 512)),
-        ("1M_edges", (49152, 98304), (64, 128, 256, 512)),
+        ("240um_scale_75k_edges", (4096, 8192), (64, 128, 256)),
+        ("1M_edges", (49152, 98304), (64, 128, 256)),
     )
     for label, (ng, nj), tiles in scales:
         s = _synthetic_sample(ng=ng, nj=nj, seed=3)
