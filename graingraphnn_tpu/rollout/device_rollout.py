@@ -14,9 +14,10 @@ the whole step on device:
 
 so a multi-span rollout is one `lax.scan` with zero host transfers — the
 configuration the BASELINE "edges/s/chip in rollout" metric is measured on
-(bench.py). Scope: periodic BC, nucleation-free, static melt pool (the
-flagship 40/120 um test cases); generate-mode nucleation and the moving melt
-pool stay on the host engine.
+(bench.py). Scope: periodic BC, static melt pool (the flagship 40/120 um
+test cases), WITH generate-mode nucleation (round 4: nucleate_jit runs as
+a pass inside device_step, per-step RNG via the scan xs); the moving melt
+pool's sliding active window stays on the host engine.
 
 Two deliberate deviations from the host path, both wrap-invariant downstream:
 

@@ -48,6 +48,8 @@ def check(repo: Path = REPO) -> list[str]:
          "M", "README"),
         (r"8-lane launch ([\d.]+)\s*M",
          bench["rollout_batched_8x120um_edges_per_s"], "M", "README"),
+        (r"hybrid 8-lane launch ([\d.]+)\s*M",
+         bench["rollout_hybrid_8x120um_edges_per_s"], "M", "README"),
     ]
     for pattern, truth, kind, where in checks:
         m = re.search(pattern, readme)
@@ -78,6 +80,8 @@ def check(repo: Path = REPO) -> list[str]:
             ("rollout_ms_per_step_120um", "rollout_ms_per_step_120um"),
             ("rollout_120um_bf16_pallas",
              "rollout_120um_bf16_pallas_fwd_edges_per_s"),
+            ("rollout_hybrid_8x120um",
+             "rollout_hybrid_8x120um_edges_per_s"),
             ("rollout_40um_edges_per_s", "rollout_40um_edges_per_s"),
             ("rollout_batched_8x120um",
              "rollout_batched_8x120um_edges_per_s"),
