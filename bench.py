@@ -96,7 +96,9 @@ def bench_rollout(lxd: int, n_steps: int = 20, pallas: bool = False,
     _check_capacity(aux)
     edges = float(np.asarray(aux["message_edges"]).sum())
     dt = float("inf")
-    for _ in range(3):
+    # min-of-5: the tunneled device's per-sync round trip varies by
+    # session (~+-10% on a 20-step window); more draws tighten the floor
+    for _ in range(5):
         t0 = time.perf_counter()
         st2, aux = run(st)
         np.asarray(aux["message_edges"])  # forces completion
@@ -130,7 +132,7 @@ def bench_rollout_batched(lxd: int, B: int = 8, n_steps: int = 20,
     _check_capacity(aux)
     edges = float(np.asarray(aux["message_edges"]).sum())
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         st2, aux = run(st)
         np.asarray(aux["message_edges"])
