@@ -88,9 +88,7 @@ def test_grain_pr_auc():
     assert auc > 0.99
 
 
-def test_readme_numbers_match_bench_artifact():
-    """README/STATUS headline quotes must equal artifacts/BENCH_LOCAL.json
-    (three rounds of quote drift — VERDICT r3 weak #3)."""
+def _load_checker():
     import importlib.util
     from pathlib import Path
 
@@ -100,5 +98,44 @@ def test_readme_numbers_match_bench_artifact():
                                                   path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+def test_readme_numbers_match_bench_artifact():
+    """README/STATUS headline quotes must equal the PINNED number of
+    record, and the latest live capture must sit within the documented
+    ±10% of the pin (VERDICT r4 task 2: the checker must stay green
+    across fresh `python bench.py` runs that move numbers only within
+    the session-variance band)."""
+    mod = _load_checker()
     errors = mod.check()
     assert not errors, "\n".join(errors)
+
+
+def test_readme_checker_tolerates_session_variance(tmp_path):
+    """A fresh capture drifting <10% from the pin must NOT fail the
+    suite; one drifting beyond must, with a re-pin instruction."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    mod = _load_checker()
+    repo = Path(__file__).resolve().parent.parent
+    # clone the doc+artifact surface into tmp_path
+    fake = tmp_path / "repo"
+    (fake / "artifacts").mkdir(parents=True)
+    for name in ("README.md", "STATUS.md"):
+        shutil.copy(repo / name, fake / name)
+    pin = json.loads((repo / "artifacts" / "BENCH_PINNED.json").read_text())
+    (fake / "artifacts" / "BENCH_PINNED.json").write_text(json.dumps(pin))
+
+    within = dict(pin)
+    within["value"] = pin["value"] * 1.05  # inside ±10%
+    (fake / "artifacts" / "BENCH_LOCAL.json").write_text(json.dumps(within))
+    assert mod.check(fake) == []
+
+    beyond = dict(pin)
+    beyond["value"] = pin["value"] * 1.25  # outside ±10%
+    (fake / "artifacts" / "BENCH_LOCAL.json").write_text(json.dumps(beyond))
+    errors = mod.check(fake)
+    assert errors and any("re-pin" in e for e in errors)
