@@ -169,12 +169,17 @@ def make_sharded_editor(mesh: Mesh, axis: str = "gp", *, wq: int = 1024,
 
         q_cols, q_vals, n_q, of_q = _gather_selected(
             sel_q, E_pq, bq, wq - 1, axis, -1)
-        p_cols, pv, n_p, of_p = _gather_selected(
-            sel_p, jnp.concatenate(
-                [E_pp.astype(jnp.float32), logits[None, :]]),
-            bp, wp, axis, NEG)
-        mini_p = jnp.where(pv[:2] < -1e20, -1.0, pv[:2]).astype(jnp.int32)
-        mini_logits = pv[2]
+        # joint ids and logits ride SEPARATE gathers: ids stay int32 the
+        # whole way (a float32 round-trip is exact only below 2^24 — a
+        # silent ceiling for exactly the edge counts this module exists
+        # to scale past). Both calls compact the same sel_p mask, so the
+        # two outputs stay column-aligned.
+        p_cols, p_ids, n_p, of_p = _gather_selected(
+            sel_p, E_pp, bp, wp, axis, -1)
+        _, p_lg, _, _ = _gather_selected(
+            sel_p, logits[None, :], bp, wp, axis, NEG)
+        mini_p = p_ids
+        mini_logits = p_lg[0]
         of_p = of_p | (n_p > wp - 128)
 
         tail_dead = jax.lax.pmax(

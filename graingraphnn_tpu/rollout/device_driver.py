@@ -273,12 +273,18 @@ def run_device_resident(
     delta_h = ((final_height - traj.ini_height) / traj.mesh_size
                / (frames_total - 1) * span * eval_every)
     # nucleation grows the grain id range mid-rollout: size the volume
-    # arrays to the largest snapshot and pad orientations (nucleated
-    # grains carry graph-local random orientations, theta 0 here)
+    # arrays to the largest snapshot; nucleated grains recover their
+    # sampled orientation from the final device state (xg col 5 = cos
+    # theta, mirroring engine.py's arccos(grain col 5) extension — the
+    # reference extends theta_z the same way at test.py's GNN_update)
     n_vol = max([num_regions] + [len(v) for v in extraV_traj])
     vol_pred = volume_graph(area_traj, extraV_traj, n_vol, delta_h)
     theta_pad = np.zeros(n_vol + 1)
     theta_pad[: len(theta_z)] = theta_z
+    if n_vol + 1 > len(theta_z):
+        xg_final = np.asarray(st.xg)
+        new_rows = xg_final[len(theta_z) - 1: n_vol, 5]
+        theta_pad[len(theta_z):] = np.arccos(np.clip(new_rows, -1.0, 1.0))
     result["misorientation"] = misorientation_curve(theta_pad, vol_pred)
     if compare and hasattr(traj, "totalV_frames"):
         vol_truth = volume_truth(

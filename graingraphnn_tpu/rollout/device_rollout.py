@@ -618,11 +618,14 @@ def post_forward_step(
         # generate-mode nucleation (models.py:769-837; engine.py:588-591):
         # per-joint probability = density * lxd^2 * dz / live joints, the
         # uniform draws provided per step via the scan xs so oracle runs
-        # can force the exact host RNG stream
+        # can force the exact host RNG stream. The denominator is the
+        # PRE-edit live-joint count (state, not tstate) — the host engine
+        # computes nucleation_prob before calling the editor, so a span
+        # that eliminates joints must not change the per-joint rate.
         assert n_g is not None and n_pq is not None, \
             "nucleation needs cursors: init_device_state(nucleation_slack)"
         prob = nuc_density_term / jnp.maximum(
-            tstate.mask_j.sum().astype(jnp.float32), 1.0)
+            state.mask_j.sum().astype(jnp.float32), 1.0)
         t2 = tstate._replace(q_ptr=n_pq)
         t2, xg_n, n_g, n_j, _n_nuc = tj.nucleate_jit(
             t2, xg, n_g, n_j, nuc_rand, nuc_angles, prob)

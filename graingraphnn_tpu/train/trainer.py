@@ -255,15 +255,18 @@ def train_scanned(
                 # probability 1-p so in-hull sharpness is preserved
                 keep = jax.random.uniform(
                     jax.random.fold_in(k, 2), (B, 1)) >= gr_jitter_p
+                # kept samples retain their ORIGINAL per-joint thermal
+                # columns (a moving meltpool / RandGR profile varies G,R
+                # across joints — broadcasting row 0 would erase that);
+                # jittered samples get one uniform (G,R) draw per sample
                 jx = batch.joint_x
-                gcol = jnp.where(keep, jx[:, :1, 3],
-                                 jnp.broadcast_to(1.0 - g / 10.0, (B, 1)))
-                rcol = jnp.where(keep, jx[:, :1, 4],
-                                 jnp.broadcast_to(r / 2.0, (B, 1)))
+                keep_b = jnp.broadcast_to(keep, jx.shape[:2])
+                g_jit = jnp.broadcast_to(1.0 - g / 10.0, jx.shape[:2])
+                r_jit = jnp.broadcast_to(r / 2.0, jx.shape[:2])
                 jx = jx.at[:, :, 3].set(
-                    jnp.broadcast_to(gcol, jx.shape[:2]))
+                    jnp.where(keep_b, jx[:, :, 3], g_jit))
                 jx = jx.at[:, :, 4].set(
-                    jnp.broadcast_to(rcol, jx.shape[:2]))
+                    jnp.where(keep_b, jx[:, :, 4], r_jit))
                 batch = batch.replace(joint_x=jx)
             lval, grads = jax.value_and_grad(batch_loss)(p, batch)
             updates, o = tx.update(grads, o, p)
