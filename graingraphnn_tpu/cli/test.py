@@ -45,6 +45,14 @@ def main(argv=None):
                         "(rollout.device_driver): spans advance on device, "
                         "QoIs pulled every --eval_every spans")
     p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--partition", type=int, default=0,
+                   help="run the COMPOSED multi-chip partitioned rollout "
+                        "over this many devices (halo-striped span forward "
+                        "+ column-sharded topology editor + shared ELL "
+                        "finalize; parallel.partitioned_rollout). Implies "
+                        "the device-driver path; trajectory-equal to the "
+                        "single-device scan (tests). On CPU, set "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N")
     p.add_argument("--pallas", action="store_true",
                    help="device_resident only: fused bf16 Pallas convs")
     p.add_argument("--fused_editor", choices=["auto", "on", "off"],
@@ -97,7 +105,7 @@ def main(argv=None):
         os.path.join(args.model_dir, f"classifier{args.classifier_id}")
     )
     c_threshold = args.c_threshold or extra.get("threshold", 0.6)
-    if args.device_resident:
+    if args.device_resident or args.partition:
         if args.temporal or args.interp_frames or args.plot3d:
             p.error("--device_resident covers the periodic static-meltpool "
                     "rollout; temporal/interp/plot3D stay on the host "
@@ -113,6 +121,7 @@ def main(argv=None):
                 args.fused_editor],
             verbose=args.verbose,
             nucleation_density=args.nucleation_density, seed=args.seed,
+            partition=args.partition,
         )
     else:
         engine = RolloutEngine(

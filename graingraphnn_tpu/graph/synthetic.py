@@ -15,6 +15,123 @@ import numpy as np
 from . import schema
 
 
+def brick_wall_arrays(ng: int, seed: int = 0):
+    """Exactly-symmetric periodic brick-wall microstructure: the true
+    T-junction adjacency of offset rectangular grains, so every jj edge
+    exists in BOTH directions (the reference's directed-pair convention,
+    graph_trajectory.py:960-1002) and every joint is exactly trivalent.
+
+    spatial_ring_arrays approximates adjacency by 3-nearest-neighbor
+    queries, which leaves ~30% of jj edges unpaired — fine for forwards
+    and single-span editor tests, but a topology EDIT on an unpaired edge
+    breaks the degree-3 invariant (the editor rewires assuming the
+    reverse edge exists). Multi-span rollout legs use this constructor.
+
+    Grain (i, j): rectangle [i+s(j), i+1+s(j)]/gx x [j, j+1]/gy with
+    s(j) = 0.5*(j%2). Joints per grain g: v0 = 2g (bottom-left corner),
+    v1 = 2g+1 (bottom-middle T-point). gy must be even for periodic row
+    parity; grain rings have 6 joints.
+    """
+    rng = np.random.default_rng(seed)
+    gx = int(round(np.sqrt(ng)))
+    while ng % gx:
+        gx -= 1
+    gy = ng // gx
+    if gy % 2:
+        raise ValueError(f"gy={gy} must be even for periodic row parity "
+                         f"(pick ng with an even factor split)")
+    nj = 2 * ng
+
+    def gid(i, j):
+        return (i % gx) + gx * (j % gy)
+
+    def v0(i, j):
+        return 2 * gid(i, j)
+
+    def v1(i, j):
+        return 2 * gid(i, j) + 1
+
+    def shift(j):
+        return 0.5 * ((j % gy) % 2)
+
+    grain_pos = np.zeros((ng, 2), np.float32)
+    joint_pos = np.zeros((nj, 2), np.float32)
+    for j in range(gy):
+        for i in range(gx):
+            g = gid(i, j)
+            x0 = (i + shift(j)) / gx
+            y0 = j / gy
+            grain_pos[g] = ((x0 + 0.5 / gx) % 1.0, y0 + 0.5 / gy)
+            joint_pos[2 * g] = (x0 % 1.0, y0)
+            joint_pos[2 * g + 1] = ((x0 + 0.5 / gx) % 1.0, y0)
+
+    jj_pairs = []   # undirected, stored both ways below
+    jg_src, jg_dst = [], []
+    for j in range(gy):
+        even = (j % 2) == 0
+        for i in range(gx):
+            a = v0(i, j)
+            b = v1(i, j)
+            # horizontal wall neighbors on line y_j
+            jj_pairs.append((a, b))                       # v0 -- v1 (right)
+            jj_pairs.append((b, v0(i + 1, j)))            # v1 -- next v0
+            # vertical wall above v0 ends at a row-(j+1) T-point
+            up = v1(i - 1, j + 1) if even else v1(i, j + 1)
+            jj_pairs.append((a, up))
+            # grains bordering v0: left/right of its vertical wall + below
+            below_v0 = gid(i - 1, j - 1) if even else gid(i, j - 1)
+            for g in (gid(i - 1, j), gid(i, j), below_v0):
+                jg_src.append(g)
+                jg_dst.append(a)
+            # grains bordering v1: above + the two below its row-(j-1) wall
+            lo = (gid(i - 1, j - 1), gid(i, j - 1)) if even else \
+                 (gid(i, j - 1), gid(i + 1, j - 1))
+            for g in (gid(i, j),) + lo:
+                jg_src.append(g)
+                jg_dst.append(b)
+
+    jj_srca = np.asarray([p[0] for p in jj_pairs]
+                         + [p[1] for p in jj_pairs], np.int64)
+    jj_dsta = np.asarray([p[1] for p in jj_pairs]
+                         + [p[0] for p in jj_pairs], np.int64)
+    jg_src = np.asarray(jg_src)
+    jg_dst = np.asarray(jg_dst)
+
+    def wrap(d):
+        return d - np.round(d)
+
+    def plen(psrc, pdst, src, dst):
+        d = wrap(psrc[src] - pdst[dst])
+        return np.sqrt((d * d).sum(1)).astype(np.float32)
+
+    gj_len = plen(grain_pos, joint_pos, jg_src, jg_dst)
+    jj_len = plen(joint_pos, joint_pos, jj_srca, jj_dsta)
+
+    gxf = np.zeros((ng, schema.GRAIN_DIM), np.float32)
+    jxf = np.zeros((nj, schema.JOINT_DIM), np.float32)
+    gxf[:, :2] = grain_pos
+    jxf[:, :2] = joint_pos
+    gxf[:, 3:] = rng.uniform(0, 1, (ng, schema.GRAIN_DIM - 3)).astype(np.float32)
+    jxf[:, 3:] = rng.uniform(0, 1, (nj, schema.JOINT_DIM - 3)).astype(np.float32)
+
+    feats = {"grain": gxf, "joint": jxf}
+    ei = {
+        schema.EDGE_TYPES[0]: np.array([jg_src, jg_dst]),
+        schema.EDGE_TYPES[1]: np.array([jg_dst, jg_src]),
+        schema.EDGE_TYPES[2]: np.array([jj_srca, jj_dsta]),
+    }
+    ew = {
+        schema.EDGE_TYPES[0]: gj_len[:, None],
+        schema.EDGE_TYPES[1]: gj_len[:, None],
+        schema.EDGE_TYPES[2]: jj_len[:, None],
+    }
+    masks = {
+        "grain": np.ones((ng, 1), np.float32),
+        "joint": np.ones((nj, 1), np.float32),
+    }
+    return feats, ei, ew, masks, None
+
+
 def spatial_ring_arrays(ng: int, seed: int = 0):
     """Periodic 'brick wall' microstructure stand-in: ng grains on an
     aspect-ratio-balanced gx x gy grid, one grain column/row offset per row

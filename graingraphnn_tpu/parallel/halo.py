@@ -408,9 +408,13 @@ def make_halo_span_forward(hp_r: HyperParams, hp_c: HyperParams, mesh: Mesh,
     fwd_c = make_halo_forward(hp_c, mesh, model="classifier", axis=axis)
 
     def span_forward(params_r, params_c, features, edge_index, edge_weight,
-                     mask, D):
+                     mask, D, caps=None):
+        # `caps` pins the stripe capacities (grain_cap/joint_cap/jj_cap)
+        # across spans so the sharded forward compiles once per rollout
+        # instead of once per span-shape (stripe populations drift as the
+        # microstructure coarsens)
         striped, meta = build_striped(
-            features, edge_index, edge_weight, mask, D)
+            features, edge_index, edge_weight, mask, D, **(caps or {}))
         y_r = fwd_r(params_r, striped)
         y_c = fwd_c(params_c, striped)
         ng = len(np.asarray(features["grain"]))

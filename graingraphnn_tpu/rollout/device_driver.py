@@ -100,6 +100,7 @@ def run_device_resident(
     verbose: bool = False,
     nucleation_density: float = 0.0,
     seed: int = 0,
+    partition: int = 0,
 ) -> Dict:
     # fused_editor=None: auto — the single-launch Pallas editor
     # (kernels.editor_pallas, bit-identical edits, ~2x step time) on TPU;
@@ -194,12 +195,36 @@ def run_device_resident(
     nuc_density_term = (
         nucleation_density * traj.lxd * traj.lxd * TRAIN_DELTA_Z
         if nuc else 0.0)
-    run_chunk = dr.make_rollout_scan(
-        reg_params, hp_r, cls_params, hp_c,
-        n_steps=eval_every, r_threshold=r_threshold,
-        c_threshold=c_threshold, span=span, pallas=pallas,
-        fused_editor=fused_editor, nuc_density_term=nuc_density_term,
-    )
+    if partition:
+        # composed multi-chip partitioned rollout (SURVEY §2.8): halo-
+        # striped span forward + column-sharded editor + shared finalize
+        # over a `partition`-device mesh (parallel.partitioned_rollout);
+        # trajectory-equal to the single-device scan (tests)
+        if nuc:
+            raise ValueError("--partition covers the nucleation-free "
+                             "rollout; generate-mode nucleation runs on "
+                             "the single-device scan")
+        if pallas:
+            raise ValueError("--partition uses the striped XLA forward; "
+                             "--pallas applies to the single-device scan")
+        from ..parallel import mesh as mesh_mod
+        from ..parallel import partitioned_rollout as pro
+
+        pmesh = mesh_mod.make_mesh([("gp", partition)],
+                                   n_devices=partition)
+        roll = pro.PartitionedRollout(
+            reg_params, hp_r, cls_params, hp_c, pmesh, span=span,
+            r_threshold=r_threshold, c_threshold=c_threshold)
+
+        def run_chunk(s):
+            return roll.run(s, eval_every)
+    else:
+        run_chunk = dr.make_rollout_scan(
+            reg_params, hp_r, cls_params, hp_c,
+            n_steps=eval_every, r_threshold=r_threshold,
+            c_threshold=c_threshold, span=span, pallas=pallas,
+            fused_editor=fused_editor, nuc_density_term=nuc_density_term,
+        )
 
     # frame-0 observation: seeds area/extraV trajectories (volume_graph
     # indexes them aligned) and, under compare, the layer-error baseline

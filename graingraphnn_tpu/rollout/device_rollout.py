@@ -543,6 +543,44 @@ def centers_stage(xg, xj, E_pq, ring, pull_cols=None):
     return xg.at[:, :2].set(new_c)
 
 
+def finalize_stage(E_pp_old, E_pq_old, E_pp_new, E_pq_new,
+                   pull_cols, push_cols, connect_cols, xg, xj,
+                   *, ring: int, t_max: int = 256):
+    """<5> post-edit finalize: ELL-structure maintenance (incremental,
+    maintained_cols, when persistent structures exist — else the centers
+    stage's from-scratch rank build), stable E_pp compaction, and grain
+    centers from the post-edit junction rings. Shared by the single-device
+    step (post_forward_step) and the composed multi-chip partitioned
+    rollout (parallel.partitioned_rollout) so both paths run the exact
+    same rebuild/maintenance semantics. Returns (E_pp, n_pp, pull_cols,
+    push_cols, connect_cols, xg, overflow)."""
+    overflow = jnp.asarray(False)
+    if pull_cols is not None:
+        pull_cols, ov_pull = maintained_cols(
+            pull_cols, E_pq_old, E_pq_new, 1, t_max=t_max)
+        overflow = overflow | ov_pull
+    if push_cols is not None:
+        push_cols, ov_push = maintained_cols(
+            push_cols, E_pq_old, E_pq_new, 0, t_max=t_max)
+        overflow = overflow | ov_push
+    if connect_cols is not None:
+        # update on pre-compact column ids, then remap through the stable
+        # compaction permutation (live relative order preserved => ranks
+        # preserved)
+        connect_cols, ov_conn = maintained_cols(
+            connect_cols, E_pp_old, E_pp_new, 1, t_max=t_max)
+        overflow = overflow | ov_conn
+        E_pp, n_pp, perm = compact_stage(E_pp_new, return_perm=True)
+        connect_cols = jnp.where(
+            connect_cols >= 0,
+            perm[jnp.where(connect_cols >= 0, connect_cols, 0)], -1
+        ).astype(jnp.int32)
+    else:
+        E_pp, n_pp = compact_stage(E_pp_new)
+    xg = centers_stage(xg, xj, E_pq_new, ring, pull_cols=pull_cols)
+    return E_pp, n_pp, pull_cols, push_cols, connect_cols, xg, overflow
+
+
 def device_step(
     reg_params, hp_r, cls_params, hp_c,
     state: DeviceRolloutState,
@@ -640,32 +678,13 @@ def post_forward_step(
             E_pp=t2.E_pp, E_pq=t2.E_pq, xj=t2.xj, mask_g=t2.mask_g,
             mask_j=t2.mask_j, append_ptr=t2.append_ptr)
         xj = tstate.xj
-    pull_cols = state.pull_cols
-    push_cols = state.push_cols
-    connect_cols = state.connect_cols
-    if pull_cols is not None:
-        pull_cols, ov_pull = maintained_cols(
-            pull_cols, state.E_pq, tstate.E_pq, 1, t_max=t_max)
-        overflow = overflow | ov_pull
-    if push_cols is not None:
-        push_cols, ov_push = maintained_cols(
-            push_cols, state.E_pq, tstate.E_pq, 0, t_max=t_max)
-        overflow = overflow | ov_push
-    if connect_cols is not None:
-        # update on pre-compact column ids, then remap through the stable
-        # compaction permutation (live relative order preserved => ranks
-        # preserved)
-        connect_cols, ov_conn = maintained_cols(
-            connect_cols, state.E_pp, tstate.E_pp, 1, t_max=t_max)
-        overflow = overflow | ov_conn
-        E_pp, n_pp, perm = compact_stage(tstate.E_pp, return_perm=True)
-        connect_cols = jnp.where(
-            connect_cols >= 0,
-            perm[jnp.where(connect_cols >= 0, connect_cols, 0)], -1
-        ).astype(jnp.int32)
-    else:
-        E_pp, n_pp = compact_stage(tstate.E_pp)
-    xg = centers_stage(xg, xj, tstate.E_pq, ring, pull_cols=pull_cols)
+    (E_pp, n_pp, pull_cols, push_cols, connect_cols, xg,
+     ov_fin) = finalize_stage(
+        state.E_pp, state.E_pq, tstate.E_pp, tstate.E_pq,
+        state.pull_cols, state.push_cols, state.connect_cols,
+        xg, xj, ring=ring, t_max=t_max,
+    )
+    overflow = overflow | ov_fin
 
     new_state = DeviceRolloutState(
         xg=xg, xj=xj, E_pp=E_pp, E_pq=tstate.E_pq,

@@ -41,6 +41,20 @@ ICI_HOP_US = 1.0
 F_NODE = 4             # bytes per f32
 
 
+def _step_breakdown_120():
+    """Corrected compute reference: the shipped fp32 + fused-editor row of
+    artifacts/STEP_BREAKDOWN.json (launch-overhead-subtracted)."""
+    with open(os.path.join(REPO, "artifacts", "STEP_BREAKDOWN.json")) as f:
+        rows = json.load(f)["rows"]
+    row = next(r for r in rows
+               if r["lxd"] == 120 and not r["pallas"] and r["fused_editor"])
+    return row["ms_per_step"], row["components_ms"]["forward_ms"], \
+        row["components_ms"]["editor_ms"] + row["components_ms"]["finalize_ms"]
+
+
+STEP_MS_120, FWD_MS_120, EDIT_FIN_MS_120 = _step_breakdown_120()
+
+
 def graph_arrays(case):
     if case == "seed10020":
         return reference_io.heterograph_to_arrays(
@@ -110,10 +124,17 @@ def main():
                     "— this is a projection, not a multi-host measurement",
         },
         "compute_reference": {
-            "measured_ms_per_step_120um_fp32": 14.3,
+            # round-5 correction (VERDICT r4 task 6): the round-2 figure
+            # (14.3 ms/step) predated the fused editor AND the launch-
+            # overhead correction; the corrected STEP_BREAKDOWN shows the
+            # shipped fp32 + fused-editor config at 3.767 ms/step with a
+            # 2.043 ms forward
+            "measured_ms_per_step_120um_fp32": STEP_MS_120,
+            "forward_ms_per_step_120um": FWD_MS_120,
             "convs_per_step": 18,
-            "ms_per_conv": round(3.3 / 18, 3),
-            "source": "artifacts/STEP_BREAKDOWN.json forward_ms / 18 convs "
+            "ms_per_conv": round(FWD_MS_120 / 18, 4),
+            "source": "artifacts/STEP_BREAKDOWN.json (lxd=120, fp32, "
+                      "fused_editor) forward_ms / 18 convs "
                       "(3 convs x 3 cells x 2 models)",
         },
         "cases": [
@@ -121,25 +142,43 @@ def main():
             analyze("seed0_120um", [2, 4, 8, 16]),
         ],
     }
-    # headline efficiency projection for the 120um case at D=8
+    # efficiency projection for the 120um case at each measured D, against
+    # the CORRECTED compute split (VERDICT r4 task 6): forward splits over
+    # stripes; the sharded editor's detection/closure is O(E/D) but its
+    # O(workset) mini edit stays replicated, so the editor+finalize time
+    # is kept whole (worst case) in the projection
     case = out["cases"][1]
-    row = next(r for r in case["stripes"] if r.get("D") == 8 and "error" not in r)
-    t_comm_ms = row["projected_comm_us_per_conv"] * 18 / 1e3
-    t_comp_ms = 3.3 / 8  # forward compute splits over stripes
-    out["projection_120um_D8"] = {
-        "comm_ms_per_step": round(t_comm_ms, 3),
-        "compute_ms_per_step_per_device": round(t_comp_ms, 3),
-        "note": "the editor (8.1 ms, replicated) dominates and is NOT "
-                "partitioned — multi-chip rollout speedup is bounded by it; "
-                "halo communication itself is projected far below compute "
-                "for graphs that fill a stripe",
-        "forward_scaling_efficiency_projection": round(
-            t_comp_ms / (t_comp_ms + t_comm_ms), 3),
+    projections = {}
+    for row in case["stripes"]:
+        D = row.get("D")
+        if D is None or "error" in row:
+            continue
+        t_comm_ms = row["projected_comm_us_per_conv"] * 18 / 1e3
+        t_fwd_ms = FWD_MS_120 / D
+        t_step_partitioned = t_fwd_ms + t_comm_ms + EDIT_FIN_MS_120
+        projections[f"D{D}"] = {
+            "comm_ms_per_step": round(t_comm_ms, 3),
+            "forward_ms_per_step_per_device": round(t_fwd_ms, 3),
+            "editor_finalize_ms_replicated": round(EDIT_FIN_MS_120, 3),
+            "forward_scaling_efficiency_projection": round(
+                t_fwd_ms / (t_fwd_ms + t_comm_ms), 3),
+            "step_speedup_projection_vs_single": round(
+                STEP_MS_120 / t_step_partitioned, 3),
+            "comm_overlappable": bool(t_comm_ms < t_fwd_ms),
+        }
+    out["projection_120um"] = {
+        "note": "with the corrected 3.77 ms/step split the forward is "
+                "2.04 ms — comm stays below the per-device forward slice "
+                "(overlappable) only up to the D where 2.04/D drops under "
+                "the ~18-conv latency floor; the Amdahl bound is the "
+                "replicated O(workset) mini edit + finalize "
+                "(projected; unmeasurable on this one-chip mount)",
+        **projections,
     }
     path = os.path.join(REPO, "artifacts", "HALO_COMM.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out["projection_120um_D8"], indent=1))
+    print(json.dumps(out["projection_120um"], indent=1))
     print("wrote", path)
 
 
