@@ -31,6 +31,15 @@ def main(argv=None):
                         "compare is off")
     p.add_argument("--G", type=float, default=10.0)
     p.add_argument("--R", type=float, default=2.0)
+    p.add_argument("--meltpool", choices=["line", "cylinder"],
+                   default="line",
+                   help="generate mode: cylinder = moving melt pool with "
+                        "a sliding active window (user_generate.py "
+                        "meltpool config; models.py:480-507) — supported "
+                        "on BOTH the host engine and the device scan")
+    p.add_argument("--r0", type=float, default=0.8)
+    p.add_argument("--z0", type=float, default=0.4)
+    p.add_argument("--melt_pool_angle", type=float, default=0.7853981633974483)
     p.add_argument("--c_threshold", type=float, default=0.0,
                    help="override the checkpoint's edge-event threshold")
     p.add_argument("--no-compare", dest="compare", action="store_false")
@@ -105,11 +114,17 @@ def main(argv=None):
         os.path.join(args.model_dir, f"classifier{args.classifier_id}")
     )
     c_threshold = args.c_threshold or extra.get("threshold", 0.6)
+    meltpool = None
+    if args.meltpool == "cylinder":
+        if not args.generate:
+            p.error("--meltpool=cylinder is a generate-mode option")
+        meltpool = {"r0": args.r0, "z0": args.z0,
+                    "melt_pool_angle": args.melt_pool_angle}
     if args.device_resident or args.partition:
         if args.temporal or args.interp_frames or args.plot3d:
-            p.error("--device_resident covers the periodic static-meltpool "
-                    "rollout; temporal/interp/plot3D stay on the host "
-                    "engine")
+            p.error("--device_resident covers the periodic rollout incl. "
+                    "nucleation and the moving melt pool; temporal/interp/"
+                    "plot3D stay on the host engine")
         from ..rollout.device_driver import run_device_resident
 
         res = run_device_resident(
@@ -121,7 +136,7 @@ def main(argv=None):
                 args.fused_editor],
             verbose=args.verbose,
             nucleation_density=args.nucleation_density, seed=args.seed,
-            partition=args.partition,
+            partition=args.partition, meltpool=meltpool,
         )
     else:
         engine = RolloutEngine(
@@ -139,7 +154,7 @@ def main(argv=None):
             growth_height=args.growth_height,
             nucleation_density=args.nucleation_density,
             temporal=args.temporal, interp_frames=args.interp_frames,
-            collect_fields=args.plot3d, clamp_gr=clamp,
+            collect_fields=args.plot3d, clamp_gr=clamp, meltpool=meltpool,
         )
     if args.plot3d and res["alpha_field_list"]:
         from ..viz.volume import GrainVisual

@@ -24,9 +24,10 @@ Conventions:
   * dynamic scatter v[i] = x  ->  where(iota == i, x, v)   (i >= N drops)
   * first-k-indices (jnp.nonzero) -> chained masked min-reductions
   * argsort over <= RING_MAX keys -> iterative stable selection
-Scope: the static-meltpool, nucleation-free flagship path (same scope as
-rollout/device_rollout.py); the meltpool/nucleation paths stay on
-topology_jit.
+Scope: the nucleation-free editor pass, static OR moving melt pool (round
+5: the active-window masks `aj`/`ag` gate switches and ring collapses
+exactly as topology_jit does; models.py:641-648,912); the nucleation pass
+stays on topology_jit.nucleate_jit (array growth, runs after this editor).
 """
 
 from __future__ import annotations
@@ -171,10 +172,11 @@ def _wrap_s(p, pc):
 #   ptr scalar i32.
 
 
-def _switch_one(st, e, events, pos, n_events, elim_grain):
+def _switch_one(st, e, events, pos, n_events, elim_grain, aj):
     """One neighbor-switching event — topology_jit._switch_plan +
     _switch_apply_one (reference models.py:910-1045) in masked-reduction
-    form. events: [K, 1] column. Returns (st, force1, force2)."""
+    form. events: [K, 1] column; aj: [1, NJ] i32 meltpool active-joint
+    window (all-ones = static melt pool). Returns (st, force1, force2)."""
     (pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj, ptr) = st
     EP = pp0.shape[1]
     EQ = pq0.shape[1]
@@ -186,6 +188,10 @@ def _switch_one(st, e, events, pos, n_events, elim_grain):
     valid = (e >= 0) & (p1 >= 0) & (p2 >= 0)
     p1s = jnp.where(valid, p1, 0)
     p2s = jnp.where(valid, p2, 0)
+    # meltpool window: skip switches touching an inactive joint
+    # (topology_jit._switch_plan:129-132; topology.TopologyEditor
+    # _switch_edges:229)
+    valid = valid & (_gat(aj, p1s) > 0) & (_gat(aj, p2s) > 0)
 
     # grain rings of both endpoints (3 each)
     a0, a1, a2 = _first_k(pq0 == p1s, 3, EQ - 1)
@@ -303,11 +309,11 @@ def _switch_one(st, e, events, pos, n_events, elim_grain):
     return st, force1, force2
 
 
-def switch_events(st, events, n_events, elim_grain):
+def switch_events(st, events, n_events, elim_grain, aj):
     """topology_jit.switch_events (models.py:901-1053): rollback predicted
     displacement of touched vertices, process events in order, zero
-    displacements/grads. events: [K, 1] column of E_pp indices (-1 pad).
-    Returns (st, forces [1, 2K])."""
+    displacements/grads. events: [K, 1] column of E_pp indices (-1 pad);
+    aj: [1, NJ] i32 active-joint window. Returns (st, forces [1, 2K])."""
     (pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj, ptr) = st
     NJ = posx.shape[1]
     K = events.shape[0]
@@ -333,7 +339,7 @@ def switch_events(st, events, n_events, elim_grain):
         def do(args):
             st, forces = args
             st, f1, f2 = _switch_one(st, _atc(events, i), events, i,
-                                     n_events, elim_grain)
+                                     n_events, elim_grain, aj)
             forces = jnp.where(io2k == 2 * i, f1,
                                jnp.where(io2k == 2 * i + 1, f2, forces))
             return st, forces
@@ -395,9 +401,11 @@ def delete_grain(st, grain):
     return st, valid
 
 
-def _ring_collapse(st, g, y_g0):
+def _ring_collapse(st, g, y_g0, aj, ag):
     """topology_jit._ring_collapse (models.py:638-690). y_g0: [1, NG]
-    predicted darea row. Returns (st, ok, events [RING,1], forces [1, 2*RING])."""
+    predicted darea row; aj/ag: [1, NJ]/[1, NG] i32 meltpool windows
+    (all-ones = static melt pool). Returns (st, ok, events [RING,1],
+    forces [1, 2*RING])."""
     (pp0, pp1, pq0, pq1, *_rest) = st
     EP = pp0.shape[1]
     EQ = pq0.shape[1]
@@ -410,6 +418,12 @@ def _ring_collapse(st, g, y_g0):
 
     iokr = _ioc(RING)
     live_slot = iokr < ring_n
+    # meltpool window: grain and its whole junction ring must be active
+    # (topology_jit._ring_collapse:521-528; topology.update:89-95)
+    ok = ok & (_gat(ag, gs) > 0)
+    ring_aj = _gat_col(aj, jnp.maximum(Np, 0))        # [RING, 1]
+    n_inactive = jnp.sum(((ring_aj == 0) & live_slot).astype(jnp.int32))
+    ok = ok & (n_inactive == 0)
     src_hit = (pp0 == Np) & live_slot                 # [RING, EP]
     dst_hit = (pp1 == Np) & live_slot
     cand_col = (jnp.any(src_hit, axis=0, keepdims=True)
@@ -466,7 +480,7 @@ def _ring_collapse(st, g, y_g0):
     events = jnp.where(iokr < n_events, L2_sorted, -1)
 
     def do(st):
-        return switch_events(st, events, n_events, gs)
+        return switch_events(st, events, n_events, gs, aj)
 
     def skip(st):
         return st, jnp.full((1, 2 * RING), -1, jnp.int32)
@@ -521,11 +535,17 @@ def _two_sided_cleanup(st, num_grains: int, budget: int):
 
 def editor_core(pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj,
                 ptr, y_g0, prob, grain_events, threshold, num_grains: int,
-                max_switch: int):
+                max_switch: int, aj=None, ag=None):
     """Full fused editor — topology_jit.update_jit semantics (reference
-    models.py:614-845) on row-vector state. grain_events: [1, GE] row.
+    models.py:614-845) on row-vector state. grain_events: [1, GE] row;
+    aj [1, NJ] / ag [1, NG] i32 are the moving-meltpool active windows
+    (models.py:641-648,912; None = all-active static melt pool).
     Returns the updated state tuple plus (sw0, sw1 [1, max_switch] switching
     endpoints, extra [1, max_extra])."""
+    if aj is None:
+        aj = jnp.ones(mj.shape, jnp.int32)
+    if ag is None:
+        ag = jnp.ones(mg.shape, jnp.int32)
     EP = pp0.shape[1]
     GE = grain_events.shape[1]
     MS = max_switch
@@ -576,7 +596,7 @@ def editor_core(pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj,
         def do(args):
             st, L1, extra, n_extra = args
             y_g0_cur = y_g0
-            st, okc, L2ev, forces = _ring_collapse(st, g, y_g0_cur)
+            st, okc, L2ev, forces = _ring_collapse(st, g, y_g0_cur, aj, ag)
             extra, n_extra = put_extra(extra, n_extra, forces)
 
             def delete_all(st):
@@ -624,7 +644,7 @@ def editor_core(pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj,
     L1c, n_sw = jax.lax.fori_loop(
         0, MS, cmp_body, (jnp.full((MS, 1), -1, jnp.int32), jnp.int32(0)))
 
-    st, forces = switch_events(st, L1c, n_sw, jnp.int32(-1))
+    st, forces = switch_events(st, L1c, n_sw, jnp.int32(-1), aj)
     extra, n_extra = put_extra(extra, n_extra, forces)
 
     pp0_f, pp1_f = st[0], st[1]

@@ -12,8 +12,9 @@ handful of straight-line VPU ops, and the state is stored back once.
 path the CPU oracle tests exercise (tests/test_editor_fused.py asserts
 equality against topology_jit.update_jit on real rollout traces).
 
-Scope (asserted): periodic static-meltpool, nucleation-free — the
-device-resident rollout configuration (rollout/device_rollout.py).
+Scope: the nucleation-free editor pass, static or moving melt pool (the
+active-window masks ride state.active_j / the active_g argument, round 5;
+nucleation stays on topology_jit.nucleate_jit, run after this editor).
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ from . import editor_core as ec
 
 def _kernel(ptr_ref, thr_ref, pp_ref, pq_ref, posx_ref, posy_ref, gx_ref,
             gy_ref, yjx_ref, yjy_ref, mg_ref, mj_ref, yg0_ref, prob_ref,
-            ge_ref,
+            ge_ref, aj_ref, ag_ref,
             pp_o, pq_o, posx_o, posy_o, gx_o, gy_o, yjx_o, yjy_o, mg_o,
             mj_o, ptr_o, sw0_o, sw1_o, extra_o,
             *, num_grains: int, max_switch: int):
@@ -39,6 +40,7 @@ def _kernel(ptr_ref, thr_ref, pp_ref, pq_ref, posx_ref, posy_ref, gx_ref,
         yjx_ref[:], yjy_ref[:], mg_ref[:], mj_ref[:],
         ptr_ref[0, 0], yg0_ref[:], prob_ref[:], ge_ref[:],
         thr_ref[0, 0], num_grains, max_switch,
+        aj=aj_ref[:], ag=ag_ref[:],
     )
     (pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj, ptr) = st
     pp_o[0:1, :] = pp0
@@ -71,10 +73,11 @@ def update_fused(
     max_switch: int = tj.MAX_SWITCH,
     use_pallas: bool = True,
     interpret: bool = False,
+    active_g: jnp.ndarray | None = None,   # [NG] bool meltpool window
 ):
-    """Drop-in counterpart of topology_jit.update_jit on its flagship scope.
+    """Drop-in counterpart of topology_jit.update_jit on its flagship scope
+    (+ meltpool active windows: state.active_j / active_g, round 5).
     Returns (state, switching [max_switch, 2], extra [max_extra])."""
-    assert state.active_j is None, "meltpool window: use topology_jit"
     assert state.q_ptr is None, "nucleation slack: use topology_jit"
     EP = state.E_pp.shape[1]
     GE = grain_events.shape[0]
@@ -93,6 +96,12 @@ def update_fused(
         mj=state.mask_j.astype(jnp.int32)[None, :],
         yg0=y_grain[:, 0][None, :], prob=prob,
         ge=grain_events.astype(jnp.int32)[None, :],
+        aj=(jnp.ones((1, xj.shape[0]), jnp.int32)
+            if state.active_j is None
+            else state.active_j.astype(jnp.int32)[None, :]),
+        ag=(jnp.ones((1, state.mask_g.shape[0]), jnp.int32)
+            if active_g is None
+            else active_g.astype(jnp.int32)[None, :]),
     )
 
     if use_pallas:
@@ -123,7 +132,7 @@ def update_fused(
         outs = pl.pallas_call(
             partial(_kernel, num_grains=num_grains, max_switch=MS),
             out_shape=out_shape,
-            in_specs=[smem, smem] + [vmem] * 13,
+            in_specs=[smem, smem] + [vmem] * 15,
             out_specs=[vmem] * 10 + [smem] + [vmem] * 3,
             interpret=interpret,
             # the whole graph state lives in VMEM for the kernel's duration;
@@ -138,6 +147,7 @@ def update_fused(
             args["pp"], args["pq"], args["posx"], args["posy"],
             args["gx"], args["gy"], args["yjx"], args["yjy"],
             args["mg"], args["mj"], args["yg0"], args["prob"], args["ge"],
+            args["aj"], args["ag"],
         )
         (pp, pq, posx, posy, gx, gy, yjx, yjy, mg, mj, ptr_o, sw0, sw1,
          extra) = outs
@@ -151,6 +161,7 @@ def update_fused(
             jnp.asarray(state.append_ptr, jnp.int32),
             args["yg0"], args["prob"], args["ge"],
             jnp.asarray(threshold, jnp.float32), num_grains, MS,
+            aj=args["aj"], ag=args["ag"],
         )
         (pp0, pp1, pq0, pq1, posx, posy, gx, gy, yjx, yjy, mg, mj,
          ptr) = st

@@ -13,9 +13,12 @@ flags (silently-dropped edges) raise instead of producing QoIs on a
 corrupted graph; `elim_saturated` (per-step elimination budget deferrals)
 is surfaced in the result.
 
-Scope matches device_rollout: periodic BC, nucleation-free, static melt
-pool. Patch rescaling for domains larger than the training patch
-(test.py:29-55,310-312) is applied on host before packing the state.
+Scope matches device_rollout: periodic BC, with generate-mode nucleation
+(round 4) and the moving melt pool's sliding active window (round 5:
+melt_stage in the scan, active masks honored by BOTH the HLO and the
+fused Pallas editor). Patch rescaling for domains larger than the
+training patch (test.py:29-55,310-312) is applied on host before packing
+the state.
 """
 
 from __future__ import annotations
@@ -101,6 +104,7 @@ def run_device_resident(
     nucleation_density: float = 0.0,
     seed: int = 0,
     partition: int = 0,
+    meltpool: Dict | None = None,
 ) -> Dict:
     # fused_editor=None: auto — the single-launch Pallas editor
     # (kernels.editor_pallas, bit-identical edits, ~2x step time) on TPU;
@@ -112,6 +116,9 @@ def run_device_resident(
     if traj.BC != "periodic":
         raise ValueError("device-resident rollout covers periodic BC; "
                          "use the host engine for noflux")
+    # meltpool: the moving melt pool's sliding active window (round 5:
+    # melt_stage in the device scan + active-window masks in BOTH editors;
+    # engine counterpart mirrors models.py:480-507 / test.py:315-324)
     nuc = nucleation_density > 0
     # generous headroom: nucleation events are rare (prob/joint ~1e-4)
     nuc_slack = 256 if nuc else 0
@@ -133,6 +140,23 @@ def run_device_resident(
     final_height = (traj.ini_height + growth_height if growth_height > 0
                     else traj.final_height)
     frames_total = int((final_height - traj.ini_height) / TRAIN_DELTA_Z) + 1
+    melt_term = None
+    melt_gap = 0.0
+    if meltpool is not None:
+        angle = meltpool["melt_pool_angle"]
+        melt_gap = (span * TRAIN_DELTA_Z * np.cos(angle) ** 2
+                    / np.tan(angle) / traj.lxd)
+        win = (meltpool["r0"] - meltpool["z0"]) / np.tan(angle) / traj.lxd
+        frames_total = int(np.floor((1 - win) / melt_gap)) * span + 1
+        off_x = np.zeros(int(st.xj.shape[0]), np.float32)
+        off_x[: len(offset_j)] = offset_j[:, 0]
+        melt_term = {
+            "r0": float(meltpool["r0"]), "z0": float(meltpool["z0"]),
+            "win": float(win), "gap": float(melt_gap),
+            "domain_factor": float(max(domain_factor, 1)),
+            "offset_x": jnp.asarray(off_x),
+            "n_off": int(len(offset_j)),
+        }
     frame_ratio = getattr(traj, "train_test_frame_ratio", 1)
     frames = list(range(span, frames_total, span))
 
@@ -200,10 +224,11 @@ def run_device_resident(
         # striped span forward + column-sharded editor + shared finalize
         # over a `partition`-device mesh (parallel.partitioned_rollout);
         # trajectory-equal to the single-device scan (tests)
-        if nuc:
+        if nuc or melt_term is not None:
             raise ValueError("--partition covers the nucleation-free "
-                             "rollout; generate-mode nucleation runs on "
-                             "the single-device scan")
+                             "static-meltpool rollout; nucleation and the "
+                             "moving melt pool run on the single-device "
+                             "scan")
         if pallas:
             raise ValueError("--partition uses the striped XLA forward; "
                              "--pallas applies to the single-device scan")
@@ -224,6 +249,7 @@ def run_device_resident(
             n_steps=eval_every, r_threshold=r_threshold,
             c_threshold=c_threshold, span=span, pallas=pallas,
             fused_editor=fused_editor, nuc_density_term=nuc_density_term,
+            melt_term=melt_term,
         )
 
     # frame-0 observation: seeds area/extraV trajectories (volume_graph
@@ -240,6 +266,12 @@ def run_device_resident(
     done = 0
     NJcap = int(st.xj.shape[0])
     while done < len(frames):
+        melt_lefts = None
+        if melt_term is not None:
+            # the window advances by `gap` AFTER each span (engine
+            # :686-688): global step t uses melt_left = t * gap
+            melt_lefts = jnp.asarray(
+                (done + np.arange(eval_every)) * melt_gap, jnp.float32)
         if nuc:
             # per-step uniforms for the whole chunk (device-resident scan
             # consumes them as xs); capacity-width draws — the stream
@@ -249,9 +281,10 @@ def run_device_resident(
             rand = nuc_rng.random((eval_every, NJcap)).astype(np.float32)
             angles = nuc_rng.random(
                 (eval_every, tj.MAX_NUC, 2)).astype(np.float32)
-            st, aux = run_chunk(st, jnp.asarray(rand), jnp.asarray(angles))
+            st, aux = run_chunk(st, jnp.asarray(rand), jnp.asarray(angles),
+                                melt_lefts)
         else:
-            st, aux = run_chunk(st)
+            st, aux = run_chunk(st, melt_lefts=melt_lefts)
         ge = np.asarray(aux["grain_events"])      # [chunk, MAX_ELIM]
         extra = np.asarray(aux["extra_events"])   # [chunk, MAX_EXTRA]
         for flag in (("ring_overflow", "pp_overflow", "nuc_overflow")

@@ -453,10 +453,19 @@ def integrate_stage(state, pred_j, pred_g, span):
     return xg, xj
 
 
-def elim_candidates(state, area, r_threshold, max_elim: int = tj.MAX_ELIM):
+def elim_candidates(state, area, r_threshold, max_elim: int = tj.MAX_ELIM,
+                    active_g=None):
     """<3a> live grains under the area threshold, ascending predicted area
-    (test.py:409-414). Returns (ge [max_elim], n_candidates)."""
-    key = jnp.where((state.mask_g > 0) & (area < r_threshold), area, jnp.inf)
+    (test.py:409-414). Returns (ge [max_elim], n_candidates).
+
+    active_g (meltpool window) drops candidates outside the active window
+    before the budget — the engine filters the sorted candidate list
+    (engine.py `cand = cand[active_grains[cand]]`); folding the filter
+    into the sort key yields the identical compacted order."""
+    cond = (state.mask_g > 0) & (area < r_threshold)
+    if active_g is not None:
+        cond = cond & active_g
+    key = jnp.where(cond, area, jnp.inf)
     order = jnp.argsort(key)
     n_cand = jnp.isfinite(key).sum()
     ge = jnp.where(
@@ -466,7 +475,8 @@ def elim_candidates(state, area, r_threshold, max_elim: int = tj.MAX_ELIM):
 
 
 def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold,
-               max_switch: int = tj.MAX_SWITCH, fused: bool = False):
+               max_switch: int = tj.MAX_SWITCH, fused: bool = False,
+               active_g=None, active_j=None):
     """<3b> jit topology editor. Returns (tstate, switching, extra).
 
     fused=True routes through the single-launch editor
@@ -474,12 +484,14 @@ def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold,
     ONE Pallas kernel with the graph state VMEM-resident (the HLO editor
     pays per-op dispatch on hundreds of tiny gathers), on other backends
     the identical core lowers to plain XLA. Oracle-equal to update_jit
-    (tests/test_editor_fused.py)."""
+    (tests/test_editor_fused.py). active_g/active_j are the moving-
+    meltpool windows (both editors honor them; models.py:641-648,912)."""
     jj_live = state.E_pp[0] >= 0
     logits = jnp.where(jj_live, edge_logits, NEG)
     tstate = tj.TopoState(
         E_pp=state.E_pp, E_pq=state.E_pq, xj=xj, y_joint=pred_j,
         mask_g=state.mask_g, mask_j=state.mask_j, append_ptr=state.n_pp,
+        active_j=active_j,
     )
     if fused:
         from ..kernels import editor_pallas
@@ -487,11 +499,54 @@ def edit_stage(state, xg, xj, pred_j, pred_g, edge_logits, ge, c_threshold,
         return editor_pallas.update_fused(
             tstate, logits, ge, pred_g, c_threshold, xg.shape[0],
             max_switch=max_switch, use_pallas=use_pallas,
+            active_g=active_g,
         )
     return tj.update_jit(
         tstate, logits, ge, pred_g, c_threshold, xg.shape[0],
-        max_switch=max_switch,
+        active_g=active_g, max_switch=max_switch,
     )
+
+
+def melt_stage(state, pred_j, pred_g, melt_term, melt_left):
+    """Moving-meltpool active window on device (engine.py's melt block,
+    mirroring models.py:480-507 / test.py:315-324): predictions taper to
+    zero outside the sliding window [melt_left, melt_left+win] (full taper
+    by +gap), y-displacements and darea scale by the melt-front curvature,
+    and nodes outside the window freeze (active masks gate the editor).
+
+    melt_term: static dict {r0, z0, win, gap, domain_factor,
+    offset_x [NJ] f32 (global-x offsets for patch-rescaled domains, zero
+    pad beyond n_off), n_off}; melt_left: traced scalar (= step * gap,
+    supplied per step via the scan xs). Returns (pred_j, pred_g,
+    active_g, active_j)."""
+    r0, z0 = melt_term["r0"], melt_term["z0"]
+    win, gap = melt_term["win"], melt_term["gap"]
+    df = melt_term["domain_factor"]
+    off_x = melt_term["offset_x"]
+    n_off = melt_term["n_off"]
+    ml = melt_left
+    mr = ml + win
+    me = ml + win + gap
+
+    def window(xc):
+        near = jnp.clip((xc - me) / (mr - me), 0.0, 1.0)
+        return jnp.where(xc < ml, 0.0, near)
+
+    def curvature(xc):
+        return z0 + (r0 - z0) * (xc - ml) / (mr - ml)
+
+    NJ = state.xj.shape[0]
+    rowj = jnp.arange(NJ) < n_off
+    gx_j = (state.xj[:, 0] + off_x) / df
+    aw_j = jnp.where(rowj, window(gx_j), 0.0)
+    gx_g = state.xg[:, 0] / df
+    aw_g = window(gx_g)
+    pred_j = pred_j * aw_j[:, None]
+    pred_j = pred_j.at[:, 1].multiply(
+        jnp.where(rowj, r0 / curvature(gx_j), 1.0))
+    pred_g = pred_g.at[:, 0].multiply(aw_g * r0 / curvature(gx_g))
+    pred_g = pred_g.at[:, 1].multiply(aw_g)
+    return pred_j, pred_g, aw_g > 0.9999, aw_j > 0.9999
 
 
 def compact_stage(E_pp_in, return_perm: bool = False):
@@ -596,6 +651,8 @@ def device_step(
     nuc_density_term: float = 0.0,
     nuc_rand=None,
     nuc_angles=None,
+    melt_term: Dict | None = None,
+    melt_left=None,
 ) -> tuple[DeviceRolloutState, Dict]:
     """One rollout span advance, fully traced (steps <1>-<5> of
     rollout.engine.run), composed from the stage functions above. Returns
@@ -604,7 +661,8 @@ def device_step(
 
     max_elim/max_switch scale the editor's per-step event budgets — a
     packed multi-lane state (pack_states) passes B x the single-lane
-    budgets."""
+    budgets. melt_term/melt_left enable the moving-meltpool window
+    (melt_stage)."""
     sample, y_r, y_c, overflow = forward_stage(
         reg_params, hp_r, cls_params, hp_c, state, ring
     )
@@ -616,7 +674,7 @@ def device_step(
         ring=ring, max_elim=max_elim, max_switch=max_switch,
         fused_editor=fused_editor, t_max=t_max,
         nuc_density_term=nuc_density_term, nuc_rand=nuc_rand,
-        nuc_angles=nuc_angles,
+        nuc_angles=nuc_angles, melt_term=melt_term, melt_left=melt_left,
     )
 
 
@@ -635,6 +693,8 @@ def post_forward_step(
     nuc_density_term: float = 0.0,
     nuc_rand=None,
     nuc_angles=None,
+    melt_term: Dict | None = None,
+    melt_left=None,
 ) -> tuple[DeviceRolloutState, Dict]:
     """Steps <2>-<5> given the forward outputs — split out so the hybrid
     batched rollout can run ONE packed forward over all lanes (B x-taller
@@ -642,12 +702,17 @@ def post_forward_step(
     pred_j = y_r["joint"]
     pred_g = y_r["grain"]
 
+    active_g = active_j = None
+    if melt_term is not None:
+        pred_j, pred_g, active_g, active_j = melt_stage(
+            state, pred_j, pred_g, melt_term, melt_left)
     xg, xj = integrate_stage(state, pred_j, pred_g, span)
     ge, n_cand = elim_candidates(state, y_r["grain_area"], r_threshold,
-                                 max_elim)
+                                 max_elim, active_g=active_g)
     tstate, switching, extra = edit_stage(
         state, xg, xj, pred_j, pred_g, y_c["edge_event"], ge, c_threshold,
-        max_switch, fused=fused_editor,
+        max_switch, fused=fused_editor, active_g=active_g,
+        active_j=active_j,
     )
     xj = tstate.xj
     n_g, n_j, n_pq = state.n_g, state.n_j, state.n_pq
@@ -739,6 +804,7 @@ def make_rollout_scan(
     fused_editor: bool = False,
     t_max: int = 256,
     nuc_density_term: float = 0.0,
+    melt_term: Dict | None = None,
 ):
     """Jitted n_steps-span rollout: state -> (state, aux-per-step). One
     compile per (capacity, n_steps); zero host transfers inside.
@@ -748,6 +814,10 @@ def make_rollout_scan(
     uniform draws (nuc_rand [n_steps, NJcap] with pad rows >= 1.0,
     nuc_angles [n_steps, MAX_NUC, 2]) — supplied as inputs so oracle runs
     can force the exact host-editor RNG stream.
+
+    melt_term (melt_stage's static dict) enables the moving-meltpool
+    window: call as run(state, ..., melt_lefts=[n_steps] f32) with the
+    per-step window positions (step * gap, offset for chunked drivers).
 
     pallas=True runs the model forwards through the fused bf16 Pallas conv
     (kernels.edge_stage) — ~1.3-1.7x faster per conv on TPU, with bf16
@@ -762,7 +832,8 @@ def make_rollout_scan(
     enabled, pdtype = _pallas_mode(pallas)
 
     @jax.jit
-    def run(state: DeviceRolloutState, nuc_rand=None, nuc_angles=None):
+    def run(state: DeviceRolloutState, nuc_rand=None, nuc_angles=None,
+            melt_lefts=None):
         # flag is consumed at trace time, which is exactly when this body
         # executes — restore afterwards so other traces are unaffected
         old = period_conv._USE_PALLAS
@@ -770,7 +841,7 @@ def make_rollout_scan(
         period_conv.use_pallas_kernels(enabled, pdtype)
         try:
             def body(st, xs):
-                nr, na = (xs if xs is not None else (None, None))
+                nr, na, ml = (xs if xs is not None else (None, None, None))
                 st, aux = device_step(
                     reg_params, hp_r, cls_params, hp_c, st,
                     r_threshold=r_threshold, c_threshold=c_threshold,
@@ -779,11 +850,16 @@ def make_rollout_scan(
                     fused_editor=fused_editor, t_max=t_max,
                     nuc_density_term=nuc_density_term,
                     nuc_rand=nr, nuc_angles=na,
+                    melt_term=melt_term, melt_left=ml,
                 )
                 return st, aux
 
-            xs = ((nuc_rand, nuc_angles)
-                  if nuc_density_term > 0.0 else None)
+            nuc_xs = nuc_density_term > 0.0
+            melt_xs = melt_term is not None
+            xs = ((nuc_rand if nuc_xs else None,
+                   nuc_angles if nuc_xs else None,
+                   melt_lefts if melt_xs else None)
+                  if (nuc_xs or melt_xs) else None)
             return jax.lax.scan(body, state, xs, length=n_steps)
         finally:
             period_conv.use_pallas_kernels(old, old_dt)

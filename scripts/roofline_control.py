@@ -116,7 +116,10 @@ def run_control(nd: int, K: int, tile: int, *, read_edges: bool,
         return call(x, xe, wq, wk, wv, wsk, wl2, gred, gexp).sum() \
             * 1e-20 + c
 
-    t = profiling.slope_time(f)
+    # each call is ~hundreds of GFLOP (ms-scale): short scans amortize the
+    # ~30 ms tunnel launch overhead fine, and the full 100/900 default
+    # would cost minutes per config
+    t = profiling.slope_time(f, n1=20, n2=120)
     mxu = kernel_mxu_flops(nd, K, GC)
     byt = (nd * K * LANES * 2 if read_edges else 0) + nd * LANES * 2 \
         + 5 * LANES * GC * 2 + GC * GC * 2 + nd * GC * 4

@@ -30,6 +30,10 @@ parser.add_argument("--gr_jitter", action="store_true",
                          "robustness, VERDICT r3 task 5)")
 parser.add_argument("--skip_regressor", action="store_true")
 parser.add_argument("--skip_classifier", action="store_true")
+parser.add_argument("--seed", type=int, default=35,
+                    help="training seed: init keys, shuffle order, and the "
+                         "jitter stream all derive from it (repeat-train "
+                         "error bars, VERDICT r4 task 3)")
 args = parser.parse_args()
 
 if args.platform == "cpu":
@@ -84,9 +88,10 @@ if not args.skip_regressor:
     hp_r = hyper.regressor(
         0, epoch=args.epochs_r, decay_step=args.decay_r, batch_size=args.batch
     )
-    params_r = grain_nn.init_regressor(jax.random.PRNGKey(35), hp_r)
+    params_r = grain_nn.init_regressor(jax.random.PRNGKey(args.seed), hp_r)
     t0 = time.time()
     params_r, hist = trainer.train_scanned(hp_r, params_r, train_ds, valid_ds,
+                                       seed=args.seed,
                                        gr_jitter=args.gr_jitter,
                                        gr_jitter_p=args.gr_jitter_p)
     print("regressor training time %.1fs" % (time.time() - t0), flush=True)
@@ -100,12 +105,13 @@ if not args.skip_classifier:
         batch_size=args.batch, pos_weight=args.pos_weight,
     )
     params_c = grain_nn.init_classifier(
-        jax.random.PRNGKey(36), hp_c, regressor_params=params_r
+        jax.random.PRNGKey(args.seed + 1), hp_c, regressor_params=params_r
     )
     t0 = time.time()
     params_c, hist_c = trainer.train_scanned(hp_c, params_c, train_ds, valid_ds,
+                                         seed=args.seed + 1,
                                          gr_jitter=args.gr_jitter,
-                                       gr_jitter_p=args.gr_jitter_p)
+                                         gr_jitter_p=args.gr_jitter_p)
     print("classifier training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(
         os.path.join(args.out, "classifier1"), params_c, hp_c,
