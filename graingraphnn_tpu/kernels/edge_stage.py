@@ -162,6 +162,7 @@ def apply_period_conv_pallas(
     interpret: bool = False,
     tile: int | None = None,
     compute_dtype=jnp.bfloat16,
+    kernel_fn=None,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.period_conv.apply_period_conv (attention
     path). Returns [Nd, G*C] float32. F_src/F_dst must be <= 128.
@@ -172,7 +173,12 @@ def apply_period_conv_pallas(
     compute_dtype selects the matmul operand precision: bf16 (default,
     ~4x MXU peak, ~1e-3 forward noise) or f32 (same precision class as the
     XLA formulation — the kernel's remaining win is the fusion: no
-    [Nd, K, G*C] HBM intermediates, one launch per conv)."""
+    [Nd, K, G*C] HBM intermediates, one launch per conv).
+
+    kernel_fn swaps the kernel BODY while keeping every piece of the
+    proven launch plumbing (specs, padding, cost estimate) — used by the
+    roofline control experiment (scripts/roofline_control.py) to run the
+    bare matmul chain through the exact same pallas_call."""
     G, C = num_gates, out_channels
     GC = G * C
     Nd_in, K = nbr.shape
@@ -231,7 +237,7 @@ def apply_period_conv_pallas(
     b = lambda p: p["b"].reshape(1, GC).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, num_gates=G, out_channels=C, pos_dim=3
+            kernel_fn or _kernel, num_gates=G, out_channels=C, pos_dim=3
         ),
         out_shape=jax.ShapeDtypeStruct((Nd, GC), jnp.float32),
         grid=grid,

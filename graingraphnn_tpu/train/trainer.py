@@ -211,6 +211,7 @@ def train_scanned(
     seed: int = 35,
     gr_jitter: bool = False,
     gr_jitter_p: float = 1.0,
+    gr_hull: tuple = (0.5, 10.0, 0.2, 2.0),
 ):
     """Device-resident training: the whole (stacked) dataset lives on the
     accelerator and one jit call runs a full epoch as a lax.scan over
@@ -248,9 +249,11 @@ def train_scanned(
             batch = jax.tree_util.tree_map(lambda a: a[idx], data)
             if gr_jitter:
                 k = jax.random.fold_in(ekey, idx[0])
-                g = jax.random.uniform(k, (B, 1), minval=0.5, maxval=10.0)
+                g = jax.random.uniform(k, (B, 1), minval=gr_hull[0],
+                                       maxval=gr_hull[1])
                 r = jax.random.uniform(jax.random.fold_in(k, 1), (B, 1),
-                                       minval=0.2, maxval=2.0)
+                                       minval=gr_hull[2],
+                                       maxval=gr_hull[3])
                 # per-sample coin: keep the true thermal features with
                 # probability 1-p so in-hull sharpness is preserved
                 keep = jax.random.uniform(

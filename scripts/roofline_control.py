@@ -3,19 +3,23 @@
 kernels_tpu.json's large-graph rows peak at ~0.48 of bf16 MXU peak and the
 recorded verdict blames MXU pipeline efficiency on the family's
 [T,128]x[128,384] contraction widths. This script proves or refutes that
-claim with a bare-matmul Pallas kernel that executes the EXACT K-unrolled
+claim with a bare-matmul kernel body that executes the EXACT K-unrolled
 matmul chain of kernels/edge_stage._kernel — per edge slot: key projection
 [T,128]x[128,GC], gate-reduce [T,GC]x[GC,128], value projection
 [T,128]x[128,GC], value MLP [T,GC]x[GC,GC], gate-expand [T,128]x[128,GC];
-plus query+skip per tile — with everything else REMOVED: no gathers (the
-per-edge operand is a sequentially-read array), no periodic relocation, no
-softmax/exp, no masks.
+plus query+skip per tile — with everything else REMOVED: no periodic
+relocation, no softmax/exp, no masks. The body runs through
+apply_period_conv_pallas's `kernel_fn` hook, so every piece of the proven
+launch plumbing (BlockSpecs, lane padding, cost estimate, tile handling)
+is byte-identical to the measured kernel. (A from-scratch pallas_call
+assembly of the same chain hung the tunneled chip — hence the shared
+plumbing.)
 
 Two variants bracket the answer:
-  * control        — same HBM traffic as the real kernel (reads the
-                     [Nd, K, 128] per-edge array sequentially);
-  * control_noread — reuses the destination tile for every k (near-zero
-                     per-edge HBM traffic): pure MXU chain.
+  * control        — same HBM traffic as the real kernel (the per-edge
+                     operand array is still read);
+  * control_noread — reuses the destination tile for every k: the per-edge
+                     array is never touched, pure MXU chain.
 
 If BOTH cap near 0.5 of bf16 peak, the ~0.5 ceiling is the contraction
 widths' MXU pipeline efficiency — the BASELINE >=70% SpMM line is measured
@@ -23,7 +27,8 @@ unreachable for this model family. If control_noread exceeds ~0.6, the gap
 is memory/fusion headroom in edge_stage and the verdict must be revised.
 
 Appends `control_cases` + `control_verdict` to artifacts/kernels_tpu.json.
-Run on the real TPU: python scripts/roofline_control.py
+Run on the real TPU (alone — never alongside a training job):
+    python scripts/roofline_control.py
 """
 
 from __future__ import annotations
@@ -38,21 +43,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
+from graingraphnn_tpu.kernels import edge_stage
+from graingraphnn_tpu.kernels.edge_stage import (
+    LANES, apply_period_conv_pallas)
 from graingraphnn_tpu.utils import profiling
 from scripts.kernel_bench import BF16_PEAK, HBM_PEAK, kernel_mxu_flops
 
-LANES = 128
 G, C = 4, 96
 GC = G * C
 
 
-def _control_kernel(xd_ref, xe_ref, wq_ref, wk_ref, wv_ref, wsk_ref,
-                    wl2_ref, gred_ref, gexp_ref, out_ref, *, K: int,
-                    read_edges: bool):
+def _control_body(
+    xd_ref, xe_ref, elen_ref, nmask_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wsk_ref, bsk_ref,
+    wl2_ref, bl2_ref, we_ref, gred_ref, gexp_ref, out_ref,
+    *, num_gates: int, out_channels: int, pos_dim: int,
+    read_edges: bool = True,
+):
+    """edge_stage._kernel's matmul chain with reloc/softmax/masks removed.
+    Same ref signature (the unused refs still arrive; `read_edges=False`
+    additionally never touches the per-edge array)."""
     f32 = jnp.float32
+    K = xe_ref.shape[1]
     xd = xd_ref[:]
     q = jnp.dot(xd, wq_ref[:], preferred_element_type=f32)
     sk = jnp.dot(xd, wsk_ref[:], preferred_element_type=f32)
@@ -71,60 +84,47 @@ def _control_kernel(xd_ref, xe_ref, wq_ref, wk_ref, wv_ref, wsk_ref,
     out_ref[:] = acc + sk
 
 
-def run_control(nd: int, K: int, tile: int, *, read_edges: bool,
-                dtype=jnp.bfloat16):
+def _params(rng):
+    def lin(n_in):
+        return {"w": rng.normal(0, 0.1, (n_in, GC)).astype(np.float32),
+                "b": rng.normal(0, 0.1, GC).astype(np.float32)}
+    return {
+        "query": lin(8), "key": lin(8), "value": lin(8), "skip": lin(8),
+        "l2": {"w": rng.normal(0, 0.1, (G, C, C)).astype(np.float32),
+               "b": rng.normal(0, 0.1, GC).astype(np.float32)},
+        "edge": {"w": rng.normal(0, 0.1, GC).astype(np.float32)},
+    }
+
+
+def run_control(nd: int, K: int, tile: int, *, read_edges: bool):
     rng = np.random.default_rng(0)
-    xd = jnp.asarray(rng.normal(0, 1, (nd, LANES)), dtype)
-    xe = jnp.asarray(rng.normal(0, 1, (nd, K, LANES)), dtype)
-    wq = jnp.asarray(rng.normal(0, 0.1, (LANES, GC)), dtype)
-    wk = jnp.asarray(rng.normal(0, 0.1, (LANES, GC)), dtype)
-    wv = jnp.asarray(rng.normal(0, 0.1, (LANES, GC)), dtype)
-    wsk = jnp.asarray(rng.normal(0, 0.1, (LANES, GC)), dtype)
-    wl2 = jnp.asarray(rng.normal(0, 0.1, (GC, GC)), dtype)
-    gate_of_col = np.repeat(np.arange(G), C)
-    gred = np.zeros((GC, LANES), np.float32)
-    gred[np.arange(GC), gate_of_col] = 1.0
-    gexp = jnp.asarray(gred.T, dtype)
-    gred = jnp.asarray(gred, dtype)
+    params = _params(rng)
+    x_src = jnp.asarray(rng.normal(0, 1, (nd, 8)), jnp.float32)
+    x_dst = jnp.asarray(rng.normal(0, 1, (nd, 8)), jnp.float32)
+    # sequential neighbor ids: the gather of x_src rows degenerates to a
+    # contiguous read (same bytes, no scatter/gather irregularity)
+    nbr = jnp.broadcast_to(
+        jnp.arange(nd, dtype=jnp.int32)[:, None], (nd, K))
+    elen = jnp.ones((nd, K), jnp.float32)
+    mask = jnp.ones((nd, K), jnp.float32)
 
-    T = tile
-    grid = (nd // T,)
-
-    def row_spec(trailing):
-        return pl.BlockSpec((T,) + trailing,
-                            lambda i: (i,) + (0,) * len(trailing),
-                            memory_space=pltpu.VMEM)
-
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-
-    call = pl.pallas_call(
-        functools.partial(_control_kernel, K=K, read_edges=read_edges),
-        out_shape=jax.ShapeDtypeStruct((nd, GC), jnp.float32),
-        grid=grid,
-        in_specs=[
-            row_spec((LANES,)), row_spec((K, LANES)),
-            full((LANES, GC)), full((LANES, GC)), full((LANES, GC)),
-            full((LANES, GC)), full((GC, GC)),
-            full((GC, LANES)), full((LANES, GC)),
-        ],
-        out_specs=row_spec((GC,)),
-    )
+    kfn = functools.partial(_control_body, read_edges=read_edges)
 
     def f(c):
-        x = xd.at[0, 0].add(c * jnp.asarray(1e-20, dtype))
-        return call(x, xe, wq, wk, wv, wsk, wl2, gred, gexp).sum() \
-            * 1e-20 + c
+        xs = x_src.at[0, 0].add(c * 1e-20)
+        return apply_period_conv_pallas(
+            params, xs, x_dst, nbr, elen, mask,
+            num_gates=G, out_channels=C, tile=tile, kernel_fn=kfn,
+        ).sum() * 1e-20 + c
 
     # each call is ~hundreds of GFLOP (ms-scale): short scans amortize the
-    # ~30 ms tunnel launch overhead fine, and the full 100/900 default
-    # would cost minutes per config
+    # ~30 ms tunnel launch overhead fine
     t = profiling.slope_time(f, n1=20, n2=120)
     mxu = kernel_mxu_flops(nd, K, GC)
     byt = (nd * K * LANES * 2 if read_edges else 0) + nd * LANES * 2 \
         + 5 * LANES * GC * 2 + GC * GC * 2 + nd * GC * 4
     return {
-        "nd": nd, "K": K, "tile": T, "read_edges": read_edges,
+        "nd": nd, "K": K, "tile": tile, "read_edges": read_edges,
         "us": round(t * 1e6, 1),
         "mxu_tflops": round(mxu / t / 1e12, 1),
         "mxu_bf16_peak_fraction": round(mxu / t / BF16_PEAK, 3),
@@ -134,14 +134,14 @@ def run_control(nd: int, K: int, tile: int, *, read_edges: bool,
 
 def main():
     dev = jax.devices()[0]
-    if dev.platform != "tpu":
+    if dev.platform not in ("tpu",):
         print(f"WARNING: running on {dev.platform}, not TPU — control "
               f"numbers are meaningless off-TPU", file=sys.stderr)
     rows = []
     # the two shapes of the large-graph rows: pull K=16 (nd = grains) and
     # connect K=3 (nd = joints), at the ~1M-edge scale
     for nd, K in ((49152, 16), (98304, 3)):
-        for tile in (64, 128, 256, 512):
+        for tile in (64, 128, 256):
             for read_edges in (True, False):
                 try:
                     r = run_control(nd, K, tile, read_edges=read_edges)
@@ -150,12 +150,11 @@ def main():
                          "read_edges": read_edges,
                          "error": str(e).splitlines()[0][:120]}
                 rows.append(r)
-                print(json.dumps(r))
+                print(json.dumps(r), flush=True)
 
-    best = max((r for r in rows if "error" not in r),
-               key=lambda r: r["mxu_bf16_peak_fraction"])
-    best_noread = max((r for r in rows
-                       if "error" not in r and not r["read_edges"]),
+    ok = [r for r in rows if "error" not in r]
+    best = max(ok, key=lambda r: r["mxu_bf16_peak_fraction"])
+    best_noread = max((r for r in ok if not r["read_edges"]),
                       key=lambda r: r["mxu_bf16_peak_fraction"])
     path = os.path.join("artifacts", "kernels_tpu.json")
     with open(path) as f:

@@ -28,6 +28,12 @@ parser.add_argument("--gr_jitter", action="store_true",
                     help="resample joint (G, R) features per step over the "
                          "RandGR hull (feature augmentation for thermal "
                          "robustness, VERDICT r3 task 5)")
+parser.add_argument("--gr_hull", type=float, nargs=4,
+                    default=[0.5, 10.0, 0.2, 2.0],
+                    metavar=("GMIN", "GMAX", "RMIN", "RMAX"),
+                    help="jitter hull; a narrower directional hull "
+                         "(training point -> extrapolation corner) "
+                         "preserves in-hull response slope (r5 task 3b)")
 parser.add_argument("--skip_regressor", action="store_true")
 parser.add_argument("--skip_classifier", action="store_true")
 parser.add_argument("--seed", type=int, default=35,
@@ -93,7 +99,8 @@ if not args.skip_regressor:
     params_r, hist = trainer.train_scanned(hp_r, params_r, train_ds, valid_ds,
                                        seed=args.seed,
                                        gr_jitter=args.gr_jitter,
-                                       gr_jitter_p=args.gr_jitter_p)
+                                       gr_jitter_p=args.gr_jitter_p,
+                                       gr_hull=tuple(args.gr_hull))
     print("regressor training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(os.path.join(args.out, "regressor0"), params_r, hp_r)
 else:
@@ -111,7 +118,8 @@ if not args.skip_classifier:
     params_c, hist_c = trainer.train_scanned(hp_c, params_c, train_ds, valid_ds,
                                          seed=args.seed + 1,
                                          gr_jitter=args.gr_jitter,
-                                         gr_jitter_p=args.gr_jitter_p)
+                                         gr_jitter_p=args.gr_jitter_p,
+                                         gr_hull=tuple(args.gr_hull))
     print("classifier training time %.1fs" % (time.time() - t0), flush=True)
     checkpoint.save(
         os.path.join(args.out, "classifier1"), params_c, hp_c,
