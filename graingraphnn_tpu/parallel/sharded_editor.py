@@ -25,12 +25,23 @@ Exactness: steps 1-3 compute exactly what editor_workset computes on one
 device (asserted in tests/test_sharded_editor.py against the replicated
 full-array editor on the real seed10020 graph and a larger synthetic).
 There is no full-array fallback here — no chip holds the full arrays —
-so workset capacity or a guard-shell hit surfaces as an `invalid` flag
-the caller must treat like ring/pp overflow (size capacities up, rerun).
+so workset capacity or a guard-shell hit surfaces as an `invalid` flag.
+The size-up-and-rerun protocol is IMPLEMENTED by the composed driver
+(parallel.partitioned_rollout.PartitionedRollout.step, round 5): each
+retry doubles wq/wp and adds a closure round, the grown workset persists
+for later spans, and only a workset beyond the padded edge capacity
+raises (as an E_pp append bust) — tested with an injected overflow
+(tests/test_partitioned_rollout.py).
 
 Node arrays (xj, masks) stay replicated: they are O(N) against the edge
-arrays' O(E)≈O(6N) and the editor writes them directly; sharding them is
-a further axis the halo layer already covers for the forward.
+arrays' O(E)≈O(6N), the editor writes them directly, and the replicated
+mini edit needs them whole — per-chip editor memory is O(N + E/D +
+workset). Sharding the node axis belongs to the forward (the halo layer
+stripes node tables spatially); inside the editor the node arrays are
+the collectively-synchronized state the exactness argument rests on, so
+a node-sharded editor would need editor_workset's closure proof
+re-derived per stripe — deliberately out of scope, stated here rather
+than implied.
 """
 
 from __future__ import annotations
