@@ -241,7 +241,7 @@ def run_device_resident(
             reg_params, hp_r, cls_params, hp_c, pmesh, span=span,
             r_threshold=r_threshold, c_threshold=c_threshold)
 
-        def run_chunk(s):
+        def run_chunk(s, melt_lefts=None):
             return roll.run(s, eval_every)
     else:
         run_chunk = dr.make_rollout_scan(
