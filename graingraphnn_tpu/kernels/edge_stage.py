@@ -145,6 +145,85 @@ def _kernel(
     out_ref[:] = acc + sk
 
 
+def _kernel_flat(
+    xd_ref, xe_ref, elen_ref, nmask_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wsk_ref, bsk_ref,
+    wl2_ref, bl2_ref, we_ref, gred_ref, gexp_ref, out_ref,
+    *, num_gates: int, out_channels: int, pos_dim: int,
+):
+    """K-FLATTENED variant of _kernel (round 5, roofline-control-driven):
+    identical math, but the per-edge projections run as ONE [T*K, 128] x
+    [128, GC] matmul per weight instead of K separate [T, 128] ones.
+
+    The control experiment (scripts/roofline_control.py,
+    kernels_tpu.json:control_cases) showed the K-unrolled chain caps at
+    ~0.55 of bf16 peak while the same chain without per-edge streaming
+    exceeds it — the ceiling was the K small matmuls, not the
+    [.,128]x[128,384] widths. Flattening K into the row dimension gives
+    the MXU 16x-taller operands at K=16. Same ref signature; selected via
+    apply_period_conv_pallas(flat=True)."""
+    T, Fp = xd_ref.shape
+    K = xe_ref.shape[1]
+    C = out_channels
+    inv_sqrt_c = 1.0 / math.sqrt(C)
+    f32 = jnp.float32
+    TK = T * K
+
+    xd = xd_ref[:]
+    q = jnp.dot(xd, wq_ref[:], preferred_element_type=f32) + bq_ref[0][None, :]
+    sk = jnp.dot(xd, wsk_ref[:], preferred_element_type=f32) + bsk_ref[0][None, :]
+    we = we_ref[0][None, :]
+    GC = q.shape[1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, Fp), 1)
+    lane3 = (lane < pos_dim).astype(f32)
+    xd3 = xd.astype(f32) * lane3
+
+    # flatten K into rows: [T, K, .] -> [T*K, .] — legal only with the
+    # lane (last) dim preserved, so [T, K] scalars ride as [T, K, 1]
+    # broadcasts instead of [TK, 1] reshapes (Mosaic rejects lane
+    # collapses: "unsupported shape cast")
+    xe = xe_ref[:].reshape(TK, Fp)
+    xd3_rep = jnp.broadcast_to(xd3[:, None, :], (T, K, Fp)).reshape(TK, Fp)
+    lane3_rep = jnp.broadcast_to(
+        lane3[:, None, :], (T, K, Fp)).reshape(TK, Fp)
+    elen3 = elen_ref[:][:, :, None]                              # [T, K, 1]
+    nmask3 = nmask_ref[:][:, :, None]
+
+    rel = xe.astype(f32) - xd3_rep
+    wrapc = ((rel < -0.5).astype(f32) - (rel > 0.5).astype(f32)) * lane3_rep
+    xjp = (rel + wrapc).astype(xd.dtype)
+
+    e_all = (elen3 * we[None, :, :]).reshape(TK, GC)             # [TK, GC]
+    k_e = (jnp.dot(xjp, wk_ref[:], preferred_element_type=f32)
+           + bk_ref[0][None, :] + e_all)
+    q_rep = jnp.broadcast_to(q[:, None, :], (T, K, GC)).reshape(TK, GC)
+    GP = gred_ref.shape[1]
+    l_all = jnp.dot((q_rep * k_e).astype(xd.dtype), gred_ref[:],
+                    preferred_element_type=f32)                  # [TK, GP]
+    nm_flat = jnp.broadcast_to(nmask3, (T, K, GP)).reshape(TK, GP)
+    l_all = jnp.where(nm_flat > 0, l_all * inv_sqrt_c, NEG)
+
+    # softmax over the K axis per destination row (per gate lane)
+    l3 = l_all.reshape(T, K, GP)
+    lmax = jnp.max(l3, axis=1, keepdims=True)
+    lmax = jnp.where(lmax <= NEG / 2, jnp.zeros_like(lmax), lmax)
+    ex3 = jnp.where(
+        nmask3 > 0, jnp.exp(l3 - lmax), jnp.zeros_like(l3))
+    denom = jnp.maximum(jnp.sum(ex3, axis=1, keepdims=True), 1e-30)
+    alpha = (ex3 / denom).reshape(TK, GP)
+
+    pre_v = (jnp.dot(xjp, wv_ref[:], preferred_element_type=f32)
+             + bv_ref[0][None, :])
+    v_all = (jnp.dot(jnp.maximum(pre_v, 0.0).astype(xd.dtype), wl2_ref[:],
+                     preferred_element_type=f32)
+             + bl2_ref[0][None, :])
+    alpha_exp = jnp.dot(alpha.astype(xd.dtype), gexp_ref[:],
+                        preferred_element_type=f32)              # [TK, GC]
+    contrib = (v_all + e_all) * alpha_exp
+    out_ref[:] = jnp.sum(contrib.reshape(T, K, GC), axis=1) + sk
+
+
 def _pad_lanes(a, lanes=LANES):
     return jnp.pad(a, ((0, 0), (0, lanes - a.shape[1])))
 
@@ -163,6 +242,7 @@ def apply_period_conv_pallas(
     tile: int | None = None,
     compute_dtype=jnp.bfloat16,
     kernel_fn=None,
+    flat: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.period_conv.apply_period_conv (attention
     path). Returns [Nd, G*C] float32. F_src/F_dst must be <= 128.
@@ -178,10 +258,24 @@ def apply_period_conv_pallas(
     kernel_fn swaps the kernel BODY while keeping every piece of the
     proven launch plumbing (specs, padding, cost estimate) — used by the
     roofline control experiment (scripts/roofline_control.py) to run the
-    bare matmul chain through the exact same pallas_call."""
+    bare matmul chain through the exact same pallas_call.
+
+    flat selects the K-FLATTENED body (_kernel_flat): None (default) =
+    auto — flat for K >= 8, where turning K separate [T,128] matmuls
+    into one [T*K,128] matmul raises MXU utilization 0.42->0.53 at the
+    1M-edge pull shape and 0.56->0.77 at the 240um shape (measured round
+    5, the roofline-control follow-up); the K=3 connect/push shapes stay
+    on the K-unrolled body (flat measured 2x SLOWER there — the
+    broadcast/reshape relayouts dominate at small K)."""
     G, C = num_gates, out_channels
     GC = G * C
     Nd_in, K = nbr.shape
+    if kernel_fn is None and (flat if flat is not None else K >= 8):
+        kernel_fn = _kernel_flat
+        # [T*K, GC] f32 intermediates: tile 256 busts scoped VMEM at
+        # K=16; 64 measured best-or-tied across scales and dtypes
+        if tile is None:
+            tile = 64
     if tile is None:
         # measured on v5e (artifacts/kernels_tpu.json tile sweep): T=64 is
         # best below ~2k destination rows, T=256 from there up (0.41->0.47

@@ -79,7 +79,14 @@ def bench_case(name, params, x_src, x_dst, nbr, elen, mask, tiles=(64,)):
         return fp
 
     t_x = profiling.slope_time(fx)
-    tile_times = {t: profiling.slope_time(make_fp(t)) for t in tiles}
+    tile_times = {}
+    for t in tiles:
+        try:
+            tile_times[t] = profiling.slope_time(make_fp(t))
+        except Exception:
+            # K-flattened kernel: [T*K, GC] intermediates bust scoped
+            # VMEM at big tiles — record as absent, keep the sweep honest
+            tile_times[t] = float("inf")
     best_tile = min(tile_times, key=tile_times.get)
     t_p = tile_times[best_tile]
     nd, k = nbr.shape
@@ -95,7 +102,9 @@ def bench_case(name, params, x_src, x_dst, nbr, elen, mask, tiles=(64,)):
         "xla_fp32_us": round(t_x * 1e6, 1),
         "pallas_bf16_us": round(t_p * 1e6, 1),
         "tile": best_tile,
-        "tile_sweep_us": {t: round(v * 1e6, 1) for t, v in tile_times.items()},
+        "tile_sweep_us": {t: (round(v * 1e6, 1) if v != float("inf")
+                              else "vmem_bust")
+                          for t, v in tile_times.items()},
         "speedup": round(t_x / t_p, 2),
         "rel_err_max": round(float(err.max()) / scale, 4),
         "rel_err_mean": round(float(err.mean()) / scale, 6),
@@ -139,7 +148,14 @@ def main():
         print(json.dumps(cases[-1]))
     out["cases"] = cases
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/kernels_tpu.json", "w") as f:
+    # preserve keys other tools append (control experiment, error notes)
+    path = "artifacts/kernels_tpu.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        for k, v in old.items():
+            out.setdefault(k, v)
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
