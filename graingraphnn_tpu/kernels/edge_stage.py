@@ -30,6 +30,14 @@ Design (v2 — replaces the round-1 kernel that consumed pre-gathered
 
 Forward-only (rollout/serving). Training uses the XLA fp32 formulation in
 ops.period_conv, which is autodiff-complete and parity-tested.
+
+v3 (round 5): `_kernel_flat` — the same math with the K dimension
+flattened into matmul rows ([T*K, 128] x [128, GC] per projection),
+auto-selected for K >= 8 after the roofline control experiment showed
+the K-unrolled chain was bound by per-edge streaming through K small
+matmuls (kernels_tpu.json: pull-conv MXU fraction 0.47 -> 0.62). Any
+custom body can also be injected through `kernel_fn` while reusing this
+module's proven launch plumbing (the control experiment's path).
 """
 
 from __future__ import annotations

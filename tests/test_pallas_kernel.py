@@ -51,3 +51,39 @@ def test_pallas_ragged_rows_padded():
     assert out_pl.shape == out_xla.shape
     scale = float(np.abs(np.asarray(out_xla)).max())
     assert np.abs(np.asarray(out_pl) - np.asarray(out_xla)).max() / scale < 5e-2
+
+
+def test_flat_kernel_matches_unrolled():
+    """The K-flattened body (auto-selected for K >= 8 after the round-5
+    roofline control) must match the K-unrolled body to fp-noise level —
+    identical math, different matmul batching — on both the high-degree
+    pull shape and a forced-flat K=3 shape, including masked slots."""
+    from graingraphnn_tpu.kernels import edge_stage
+
+    s = synthetic_sample(ng=32, nj=64, seed=7)
+    params = period_conv.init_period_conv(
+        jax.random.PRNGKey(4), schema.JOINT_DIM, schema.GRAIN_DIM, 8, 4
+    )
+    kw = dict(num_gates=4, out_channels=8, interpret=True, tile=16)
+    # pull K=16: flat is the auto default; compare against forced-unrolled
+    out_flat = apply_period_conv_pallas(
+        params, s.joint_x, s.grain_x, s.pull_nbr, s.pull_len, s.pull_mask,
+        **kw)
+    out_unrolled = apply_period_conv_pallas(
+        params, s.joint_x, s.grain_x, s.pull_nbr, s.pull_len, s.pull_mask,
+        **kw, flat=False)
+    np.testing.assert_allclose(
+        np.asarray(out_flat), np.asarray(out_unrolled), atol=1e-5)
+
+    # K=3 connect: unrolled is the auto default; force flat and compare
+    p2 = period_conv.init_period_conv(
+        jax.random.PRNGKey(5), schema.JOINT_DIM, schema.JOINT_DIM, 8, 4
+    )
+    out_k3_auto = apply_period_conv_pallas(
+        p2, s.joint_x, s.joint_x, s.connect_nbr, s.connect_len,
+        s.connect_mask, **kw)
+    out_k3_flat = apply_period_conv_pallas(
+        p2, s.joint_x, s.joint_x, s.connect_nbr, s.connect_len,
+        s.connect_mask, **kw, flat=True)
+    np.testing.assert_allclose(
+        np.asarray(out_k3_auto), np.asarray(out_k3_flat), atol=1e-5)
