@@ -87,19 +87,31 @@ def build_striped(
     grain_cap: int | None = None,
     joint_cap: int | None = None,
     jj_cap: int | None = None,
+    stripe_x: Dict[str, np.ndarray] | None = None,
 ) -> Tuple[state.GraphSample, StripeMeta]:
     """Stripe-major GraphSample with leading shard dim D. Neighbor indices
     are remapped into the extended [left|local|right] source table.
     `target_dicts` (same keys as state.build_sample: grain/joint/grain_event
     node targets, edge_event labels on live jj edges in edge-list order)
-    are striped alongside the features so the sample is trainable."""
+    are striped alongside the features so the sample is trainable.
+
+    `stripe_x` ({"grain": [NG], "joint": [NJ]}) overrides the coordinate
+    used for stripe ASSIGNMENT only (features are untouched). Under patch
+    rescaling (test.py:29-55) the feature x lives on the SCALED torus,
+    whose interaction range is the 40 um patch's (~0.14) regardless of
+    the physical domain — capping D at ~4. Striping by the PHYSICAL
+    coordinate ((scaled + offset)/domain_factor) restores edge lengths
+    ~0.14/factor, so D scales with domain size; any partition works for
+    correctness as long as every edge spans adjacent stripes (the
+    builder still validates that loudly)."""
     gx = np.asarray(feature_dicts["grain"], np.float32)
     jx = np.asarray(feature_dicts["joint"], np.float32)
     gmask = np.asarray(mask_dicts["grain"], np.float32).reshape(-1)
     jmask = np.asarray(mask_dicts["joint"], np.float32).reshape(-1)
 
-    g_stripe = _stripe_of(gx[:, 0], D)
-    j_stripe = _stripe_of(jx[:, 0], D)
+    sx = stripe_x or {}
+    g_stripe = _stripe_of(np.asarray(sx.get("grain", gx[:, 0])), D)
+    j_stripe = _stripe_of(np.asarray(sx.get("joint", jx[:, 0])), D)
     g_order = np.argsort(g_stripe, kind="stable")
     j_order = np.argsort(j_stripe, kind="stable")
     g_sizes = [int((g_stripe == s).sum()) for s in range(D)]
@@ -408,13 +420,14 @@ def make_halo_span_forward(hp_r: HyperParams, hp_c: HyperParams, mesh: Mesh,
     fwd_c = make_halo_forward(hp_c, mesh, model="classifier", axis=axis)
 
     def span_forward(params_r, params_c, features, edge_index, edge_weight,
-                     mask, D, caps=None):
+                     mask, D, caps=None, stripe_x=None):
         # `caps` pins the stripe capacities (grain_cap/joint_cap/jj_cap)
         # across spans so the sharded forward compiles once per rollout
         # instead of once per span-shape (stripe populations drift as the
         # microstructure coarsens)
         striped, meta = build_striped(
-            features, edge_index, edge_weight, mask, D, **(caps or {}))
+            features, edge_index, edge_weight, mask, D,
+            stripe_x=stripe_x, **(caps or {}))
         y_r = fwd_r(params_r, striped)
         y_c = fwd_c(params_c, striped)
         ng = len(np.asarray(features["grain"]))

@@ -78,6 +78,20 @@ class PartitionedRollout:
     sharded editor's initial workset capacities (doubled on a bust, up to
     `max_retries` times per span). Scope matches the sharded pieces:
     periodic BC, static melt pool, nucleation-free.
+
+    `stripe_offsets=(offset_gx [NG], offset_jx [NJ], domain_factor)`
+    stripes the forward by PHYSICAL x — ((scaled + offset)/factor) —
+    instead of the patch-scaled feature x: under patch rescaling the
+    scaled torus keeps the 40 um interaction range (~0.14) whatever the
+    physical domain size, capping D at ~4; physical striping restores
+    edge lengths ~0.14/factor so D scales with the domain (D=8+ for the
+    120/240 um cases). Initial offsets come from
+    device_driver.init_scaled_state; unlike the reference reconstruction
+    (which keeps them frozen), the loop MAINTAINS them per span by
+    detecting scaled-torus wrap crossings (|dx| > 0.5 between spans —
+    per-span motion is ~0.04, so crossings are unambiguous): a frozen
+    offset goes stale by a whole patch width at the first crossing,
+    which would misplace the node by D*factor/8 stripes.
     """
 
     def __init__(self, reg_params, hp_r, cls_params, hp_c, mesh: Mesh,
@@ -90,7 +104,8 @@ class PartitionedRollout:
                  max_switch: int = tj.MAX_SWITCH,
                  wq: int = 1024, wp: int = 1024, rounds: int = 3,
                  max_retries: int = 8, t_max: int = 256,
-                 cap_headroom: float = 1.5):
+                 cap_headroom: float = 1.5,
+                 stripe_offsets=None):
         self.rp, self.hp_r = reg_params, hp_r
         self.cp, self.hp_c = cls_params, hp_c
         self.mesh, self.axis = mesh, axis
@@ -105,6 +120,12 @@ class PartitionedRollout:
         self.max_retries = max_retries
         self.t_max = t_max
         self.cap_headroom = cap_headroom
+        self.stripe_offsets = None
+        if stripe_offsets is not None:
+            off_g, off_j, factor = stripe_offsets
+            self.stripe_offsets = (np.asarray(off_g, np.float64).reshape(-1),
+                                   np.asarray(off_j, np.float64).reshape(-1),
+                                   float(factor))
         # the mini edit's internal budgets (top_k over the workset, the
         # fill-sentinel tail) need a minimum width to trace
         floor = max(128, 2 * max_switch)
@@ -142,11 +163,31 @@ class PartitionedRollout:
                 max_switch=self.max_switch))
         return self._editors[key]
 
-    def _stripe_caps(self, feats, ei, ew, mask):
+    def _stripe_x(self, xg, xj):
+        """Physical stripe coordinates when patch offsets are present;
+        maintains the offsets across spans by detecting wrap crossings
+        of the scaled torus (see class docstring)."""
+        if self.stripe_offsets is None:
+            return None
+        off_g, off_j, factor = self.stripe_offsets
+        prev = getattr(self, "_prev_stripe_x", None)
+        if prev is not None:
+            pgx, pjx = prev
+            dg = xg[:, 0] - pgx
+            off_g = off_g - (dg > 0.5) + (dg < -0.5)
+            dj = xj[:, 0] - pjx
+            off_j = off_j - (dj > 0.5) + (dj < -0.5)
+            self.stripe_offsets = (off_g, off_j, factor)
+        self._prev_stripe_x = (xg[:, 0].copy(), xj[:, 0].copy())
+        return {"grain": ((xg[:, 0] + off_g) / factor) % 1.0,
+                "joint": ((xj[:, 0] + off_j) / factor) % 1.0}
+
+    def _stripe_caps(self, feats, ei, ew, mask, stripe_x):
         """Pin stripe capacities at span 0 with headroom so the sharded
         forward compiles once; re-pinned (recompile) only if a later span
         outgrows them."""
-        _s, meta = halo.build_striped(feats, ei, ew, mask, self.D)
+        _s, meta = halo.build_striped(feats, ei, ew, mask, self.D,
+                                      stripe_x=stripe_x)
         h = self.cap_headroom
         return {
             "grain_cap": round_up(int(meta.grain_cap * h) + 8, 8),
@@ -181,18 +222,21 @@ class PartitionedRollout:
               conn_t: pp_len[:, None]}
         mask = {"grain": np.asarray(st.mask_g, np.float32),
                 "joint": np.asarray(st.mask_j, np.float32)}
+        stripe_x = self._stripe_x(xg, xj)
         if self._caps is None:
-            self._caps = self._stripe_caps(feats, ei, ew, mask)
+            self._caps = self._stripe_caps(feats, ei, ew, mask, stripe_x)
         try:
             pred = self._span_fwd(self.rp, self.cp, feats, ei, ew, mask,
-                                  self.D, caps=self._caps)
+                                  self.D, caps=self._caps,
+                                  stripe_x=stripe_x)
         except ValueError as e:
             if "stripe capacity" not in str(e):
                 raise
             # a stripe outgrew the pinned headroom: re-pin (recompile)
-            self._caps = self._stripe_caps(feats, ei, ew, mask)
+            self._caps = self._stripe_caps(feats, ei, ew, mask, stripe_x)
             pred = self._span_fwd(self.rp, self.cp, feats, ei, ew, mask,
-                                  self.D, caps=self._caps)
+                                  self.D, caps=self._caps,
+                                  stripe_x=stripe_x)
 
         # <2>/<3a> integration + elimination candidates (replicated)
         pred_j = jnp.asarray(pred["joint"], jnp.float32)

@@ -237,9 +237,19 @@ def run_device_resident(
 
         pmesh = mesh_mod.make_mesh([("gp", partition)],
                                    n_devices=partition)
+        stripe_offsets = None
+        if domain_factor > 1:
+            # stripe by PHYSICAL x (scaled + patch offset over factor):
+            # the scaled torus keeps the 40um interaction range whatever
+            # the domain size, capping D at ~4; physical striping lets D
+            # scale with the domain (PartitionedRollout docstring)
+            gx_phys = np.asarray(hg0.feature_dicts["grain"], float)[:, 0]
+            off_gx = np.floor(gx_phys * domain_factor)
+            stripe_offsets = (off_gx, offset_j[:, 0], domain_factor)
         roll = pro.PartitionedRollout(
             reg_params, hp_r, cls_params, hp_c, pmesh, span=span,
-            r_threshold=r_threshold, c_threshold=c_threshold)
+            r_threshold=r_threshold, c_threshold=c_threshold,
+            stripe_offsets=stripe_offsets)
 
         def run_chunk(s, melt_lefts=None):
             return roll.run(s, eval_every)

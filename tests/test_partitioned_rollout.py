@@ -88,12 +88,13 @@ def _state_240um():
     crossbar cap, so the state carries persistent ELL structures and the
     composed finalize runs incremental maintenance). Cached: the Voronoi
     raster + tensorize costs ~60 s."""
-    cache = os.path.join(CACHE_DIR, "partrollout_240um_state.pkl")
+    cache = os.path.join(CACHE_DIR, "partrollout_240um_state_v2.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
-            fields = pickle.load(f)
+            fields, offs = pickle.load(f)
         return dr.DeviceRolloutState(*[
-            jnp.asarray(a) if a is not None else None for a in fields])
+            jnp.asarray(a) if a is not None else None
+            for a in fields]), offs
     traj = extraction.TrajectoryExtractor(
         lxd=240, seed=1, frames=121, bc="periodic",
         physical_params={"G": 4.0, "R": 1.0})
@@ -102,28 +103,34 @@ def _state_240um():
     traj.area_traj.append(dict(traj.area_counts))
     traj.states.append(heterograph.tensorize(traj, 0))
     hg0 = extraction.make_test_sample(traj, span=6)
-    st0, _off, _fac = dd.init_scaled_state(hg0, traj)
+    gx_phys = np.asarray(hg0.feature_dicts["grain"], float)[:, 0]
+    st0, off_j, fac = dd.init_scaled_state(hg0, traj)
+    offs = (np.floor(gx_phys * fac), off_j[:, 0], fac)
     os.makedirs(CACHE_DIR, exist_ok=True)
     with open(cache, "wb") as f:
-        pickle.dump([np.asarray(a) if a is not None else None
-                     for a in st0], f)
-    return st0
+        pickle.dump(([np.asarray(a) if a is not None else None
+                      for a in st0], offs), f)
+    return st0, offs
 
 
 def test_composed_rollout_matches_device_240um(real_models):
-    """240 um-scale synthetic: 5 spans with dense events (24 switches +
-    8 eliminations per span at the shipped threshold); span 0's ~20k-edge
-    footprint exercises the size-up-and-rerun workset protocol, and the
-    incremental pull/push/connect structures are maintained through the
-    composed finalize."""
+    """240 um-scale synthetic on the FULL virtual 8-mesh: 5 spans with
+    dense events (24 switches + 8 eliminations per span at the shipped
+    threshold); span 0's ~20k-edge footprint exercises the
+    size-up-and-rerun workset protocol, the incremental
+    pull/push/connect structures are maintained through the composed
+    finalize, and the forward stripes by PHYSICAL x (patch offsets,
+    wrap-maintained per span) — the scaled torus caps D at 4, physical
+    striping lifts it to 8+."""
     rp, hp_r, cp, hp_c, ct = real_models
-    st0 = _state_240um()
+    st0, offs = _state_240um()
     assert st0.pull_cols is not None  # incremental path active
 
-    D = 4
+    D = 8
     mesh = mesh_mod.make_mesh([("gp", D)], n_devices=D)
     roll = pr.PartitionedRollout(rp, hp_r, cp, hp_c, mesh, span=6,
-                                 c_threshold=ct, wq=8192, wp=8192)
+                                 c_threshold=ct, wq=8192, wp=8192,
+                                 stripe_offsets=offs)
     st1, aux = roll.run(st0, 5)
     assert aux["editor_retries"][0] > 0  # span-0 workset grew (protocol)
     n_switch = sum(int((np.asarray(s)[:, 0] >= 0).sum())
