@@ -91,7 +91,10 @@ class PartitionedRollout:
     detecting scaled-torus wrap crossings (|dx| > 0.5 between spans —
     per-span motion is ~0.04, so crossings are unambiguous): a frozen
     offset goes stale by a whole patch width at the first crossing,
-    which would misplace the node by D*factor/8 stripes.
+    which would misplace the node by D*factor/8 stripes. Because the
+    offsets (and the grown editor workset) mutate with the trajectory,
+    use ONE PartitionedRollout instance per rollout when
+    `stripe_offsets` is set — construct a fresh one to start over.
     """
 
     def __init__(self, reg_params, hp_r, cls_params, hp_c, mesh: Mesh,
